@@ -1,0 +1,361 @@
+"""BMHRL agent: bimodal encoder + dual fusion decoders + hierarchical
+manager/worker heads, plus the two value-function baselines.
+
+Parity target: model/bm_hrl_agent.py in the reference. Functional flax design:
+- no mutable mode flags; ``exploration`` and ``deterministic`` are call args;
+- grad gating (teach_worker/teach_manager/warmstart, ref :555-589) is an
+  optimizer param-mask, not requires_grad flips (see train/train_state.py);
+- Manager.expand_goals is the vectorized ops.segments.expand_goals instead of
+  a host loop (ref :415-429).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bmhrl_tpu.models.attention import MultiheadedAttention
+from bmhrl_tpu.models.blocks import (
+    PositionalEncoder,
+    PositionwiseFeedForward,
+    ResidualConnection,
+    VocabularyEmbedder,
+)
+from bmhrl_tpu.models.critic import SegmentCritic
+from bmhrl_tpu.ops.segments import expand_goals
+
+
+class BMEncoderLayer(nn.Module):
+    """Self-attention per modality, then symmetric cross-modal attention, then
+    per-modality FFN; prenorm residuals. ref: bm_hrl_agent.py:328-384."""
+
+    d_model_M1: int
+    d_model_M2: int
+    d_model: int
+    d_ff_M1: int
+    d_ff_M2: int
+    dout_p: float
+    H: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, masks, deterministic: bool = True):
+        M1, M2 = x
+        M1_mask, M2_mask = masks
+        att = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
+        self_att_M1 = MultiheadedAttention(
+            self.d_model_M1, self.d_model_M1, self.d_model_M1, self.H, **att,
+            name="self_att_M1")
+        self_att_M2 = MultiheadedAttention(
+            self.d_model_M2, self.d_model_M2, self.d_model_M2, self.H, **att,
+            name="self_att_M2")
+        bi_att_M1 = MultiheadedAttention(
+            self.d_model_M1, self.d_model_M2, self.d_model_M2, self.H, **att,
+            name="bi_modal_att_M1")
+        bi_att_M2 = MultiheadedAttention(
+            self.d_model_M2, self.d_model_M1, self.d_model_M1, self.H, **att,
+            name="bi_modal_att_M2")
+        ff_M1 = PositionwiseFeedForward(
+            self.d_model_M1, self.d_ff_M1, self.dout_p, self.dtype, name="ff_M1")
+        ff_M2 = PositionwiseFeedForward(
+            self.d_model_M2, self.d_ff_M2, self.dout_p, self.dtype, name="ff_M2")
+
+        res_M1 = [ResidualConnection(self.d_model_M1, self.dout_p, name=f"res_M1_{i}")
+                  for i in range(3)]
+        res_M2 = [ResidualConnection(self.d_model_M2, self.dout_p, name=f"res_M2_{i}")
+                  for i in range(3)]
+
+        det = deterministic
+        M1 = res_M1[0](M1, lambda h: self_att_M1(h, h, h, M1_mask, deterministic=det), det)
+        M2 = res_M2[0](M2, lambda h: self_att_M2(h, h, h, M2_mask, deterministic=det), det)
+        M1m2 = res_M1[1](M1, lambda h: bi_att_M1(h, M2, M2, M2_mask, deterministic=det), det)
+        M2m1 = res_M2[1](M2, lambda h: bi_att_M2(h, M1, M1, M1_mask, deterministic=det), det)
+        M1m2 = res_M1[2](M1m2, lambda h: ff_M1(h, det), det)
+        M2m1 = res_M2[2](M2m1, lambda h: ff_M2(h, det), det)
+        return M1m2, M2m1
+
+
+class BMEncoder(nn.Module):
+    """N-layer bimodal encoder. ref: bm_hrl_agent.py:218-235."""
+
+    d_model_M1: int
+    d_model_M2: int
+    d_model: int
+    d_ff_M1: int
+    d_ff_M2: int
+    dout_p: float
+    H: int
+    N: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, masks, deterministic: bool = True):
+        V, A = x
+        out = (V, A)
+        for i in range(self.N):
+            out = BMEncoderLayer(
+                self.d_model_M1, self.d_model_M2, self.d_model,
+                self.d_ff_M1, self.d_ff_M2, self.dout_p, self.H,
+                dtype=self.dtype, name=f"layer_{i}",
+            )(out, (masks["V_mask"], masks["A_mask"]), deterministic)
+        return out  # (video-side memory, audio-side memory)
+
+
+class BMFusionLayer(nn.Module):
+    """Caption decoder layer: causal self-attention, separate cross-attention
+    into audio and video memories, per-branch LayerNorm, then a learned
+    sigmoid-gated A/V blend. The reference constructs (but never applies) a
+    feed-forward here; we omit it. ref: bm_hrl_agent.py:54-117."""
+
+    d_model_A: int
+    d_model_V: int
+    d_model_C: int
+    d_model: int
+    d_ff_c: int
+    dout_p: float
+    H: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, masks, deterministic: bool = True):
+        C, memory = x
+        Av, Va = memory
+        att = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
+        self_att = MultiheadedAttention(
+            self.d_model_C, self.d_model_C, self.d_model_C, self.H, **att,
+            name="self_att")
+        enc_att_A = MultiheadedAttention(
+            self.d_model_C, self.d_model_A, self.d_model_A, self.H, **att,
+            name="enc_att_A")
+        enc_att_V = MultiheadedAttention(
+            self.d_model_C, self.d_model_V, self.d_model_V, self.H, **att,
+            name="enc_att_V")
+        res_self = ResidualConnection(self.d_model_C, self.dout_p, name="res_self_att")
+        res_A = ResidualConnection(self.d_model_C, self.dout_p, name="res_enc_att_A")
+        res_V = ResidualConnection(self.d_model_C, self.dout_p, name="res_enc_att_V")
+
+        det = deterministic
+        C = res_self(C, lambda h: self_att(h, h, h, masks["C_mask"], deterministic=det), det)
+        Ca = res_A(C, lambda h: enc_att_A(h, Av, Av, masks["A_mask"], deterministic=det), det)
+        Cv = res_V(C, lambda h: enc_att_V(h, Va, Va, masks["V_mask"], deterministic=det), det)
+        Ca = nn.LayerNorm(name="normCA")(Ca.astype(jnp.float32))
+        Cv = nn.LayerNorm(name="normCV")(Cv.astype(jnp.float32))
+
+        a_v_constant = self.param(
+            "a_v_constant", lambda k: jnp.zeros((1,), jnp.float32))
+        av_factor = nn.sigmoid(jnp.clip(a_v_constant, -2.0, 2.0))
+        fused = av_factor * Cv + (1.0 - av_factor) * Ca
+        return fused.astype(self.dtype), memory
+
+
+class BMFusion(nn.Module):
+    """N-layer fusion decoder stack. ref: bm_hrl_agent.py:120-131."""
+
+    d_model_A: int
+    d_model_V: int
+    d_model_C: int
+    d_model: int
+    d_ff_c: int
+    dout_p: float
+    H: int
+    N: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, masks, deterministic: bool = True):
+        C, memory = x
+        for i in range(self.N):
+            C, memory = BMFusionLayer(
+                self.d_model_A, self.d_model_V, self.d_model_C, self.d_model,
+                self.d_ff_c, self.dout_p, self.H, dtype=self.dtype,
+                name=f"layer_{i}",
+            )((C, memory), masks, deterministic)
+        return C
+
+
+class Manager(nn.Module):
+    """Goal emitter: linear(d_caps -> d_goal) + dropout, optional exploration
+    noise scaled by detached nan-statistics of the activations, then segment
+    goal expansion. ref: bm_hrl_agent.py:399-454."""
+
+    d_model_caps: int
+    d_goal: int
+    dout_p: float
+    mean_factor: float = 10.0
+    std_factor: float = 5.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        critic_mask: jnp.ndarray,
+        exploration: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = nn.Dense(self.d_goal, dtype=jnp.float32, name="linear")(
+            x.astype(jnp.float32))
+        x = nn.Dropout(self.dout_p)(x, deterministic=deterministic)
+        if exploration:
+            mean = jnp.nanmean(x) / self.mean_factor
+            std = jnp.sqrt(jnp.nanmean(jnp.abs(x - jnp.nanmean(x)) ** 2)) / self.std_factor
+            mean = jax.lax.stop_gradient(mean)
+            std = jax.lax.stop_gradient(std)
+            rng = self.make_rng("noise")
+            noise = jax.random.normal(rng, (self.d_goal,)) * std + mean - 0.5 * mean
+            x = x + noise
+        return expand_goals(x, critic_mask)
+
+
+class Worker(nn.Module):
+    """Goal-conditioned word head: 2-head attention of goals over worker
+    features, concat, project to vocab log-probs. ref: bm_hrl_agent.py:456-487."""
+
+    voc_size: int
+    d_in: int
+    d_goal: int
+    dout_p: float
+    d_model: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, goal, mask, deterministic: bool = True) -> jnp.ndarray:
+        goal_completion = MultiheadedAttention(
+            self.d_goal, self.d_in, self.d_in, 2, self.dout_p, self.d_model,
+            dtype=self.dtype, name="goal_attention",
+        )(goal.astype(self.dtype), x, x, mask, deterministic=deterministic)
+        h = jnp.concatenate([x, goal_completion.astype(x.dtype)], axis=-1)
+        logits = nn.Dense(self.voc_size, dtype=jnp.float32, name="projection")(
+            h.astype(jnp.float32))
+        return nn.log_softmax(logits, axis=-1)
+
+
+class BMHrlAgent(nn.Module):
+    """Top-level bimodal hierarchical agent. ref: bm_hrl_agent.py:491-661.
+
+    __call__(x=(V, A), trg, masks) -> (log_probs, worker_feat, manager_feat,
+    goals, segment_labels); pass trg as a (y, y_hat) tuple plus ``mix_factor``
+    for scheduled-sampling mixing (ref :611-625).
+    """
+
+    voc_size: int
+    d_video: int = 1024
+    d_audio: int = 128
+    d_model: int = 1024
+    d_model_caps: int = 300
+    att_heads: int = 4
+    att_layers: int = 2
+    dout_p: float = 0.1
+    d_goal: int = 64
+    d_ff_v: int = 1024
+    d_ff_a: int = 512
+    d_ff_c: int = 2048
+    critic_score_threshold: float = 0.25
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.pos_enc_A = PositionalEncoder(self.d_audio, self.dout_p)
+        self.pos_enc_V = PositionalEncoder(self.d_video, self.dout_p)
+        self.pos_enc_C = PositionalEncoder(self.d_model_caps, self.dout_p)
+        self.critic = SegmentCritic(self.d_model_caps)
+        self.emb_C = VocabularyEmbedder(self.voc_size, self.d_model_caps)
+        self.bm_enc = BMEncoder(
+            d_model_M1=self.d_video, d_model_M2=self.d_audio, d_model=self.d_model,
+            d_ff_M1=self.d_ff_v, d_ff_M2=self.d_ff_a, dout_p=self.dout_p,
+            H=self.att_heads, N=self.att_layers, dtype=self.dtype)
+        fus = dict(
+            d_model_A=self.d_audio, d_model_V=self.d_video,
+            d_model_C=self.d_model_caps, d_model=self.d_model,
+            d_ff_c=self.d_ff_c, dout_p=self.dout_p, H=self.att_heads,
+            N=self.att_layers, dtype=self.dtype)
+        self.bm_worker_fus = BMFusion(**fus)
+        self.bm_manager_fus = BMFusion(**fus)
+        self.manager = Manager(self.d_model_caps, self.d_goal, self.dout_p)
+        self.worker = Worker(
+            voc_size=self.voc_size, d_in=self.d_model_caps, d_goal=self.d_goal,
+            dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
+
+    # ---- pieces -----------------------------------------------------------
+    def embed_caption(self, trg: jnp.ndarray) -> jnp.ndarray:
+        return self.emb_C(trg)
+
+    def segment_labels_of(self, C_emb: jnp.ndarray) -> jnp.ndarray:
+        scores = nn.sigmoid(self.critic(C_emb))
+        labels = (scores > self.critic_score_threshold).astype(jnp.int32)
+        return labels[..., 0]  # (B, L)
+
+    def encode(self, V, A, masks, deterministic: bool = True):
+        V = self.pos_enc_V(V.astype(self.dtype), deterministic)
+        A = self.pos_enc_A(A.astype(self.dtype), deterministic)
+        return self.bm_enc((V, A), masks, deterministic)  # (Va, Av)
+
+    def predict_with_features(
+        self, C_emb, Va, Av, masks,
+        exploration: bool = False, deterministic: bool = True,
+    ):
+        """ref: bm_hrl_agent.py:637-651 (encoder hoisted out by caller)."""
+        segment_labels = self.segment_labels_of(C_emb)
+        C = self.pos_enc_C(C_emb, deterministic).astype(self.dtype)
+        worker_feat = self.bm_worker_fus((C, (Av, Va)), masks, deterministic)
+        manager_feat = self.bm_manager_fus((C, (Av, Va)), masks, deterministic)
+        goals = self.manager(
+            manager_feat, segment_labels, exploration, deterministic)
+        pred = self.worker(worker_feat, goals, masks["C_mask"], deterministic)
+        return pred, worker_feat, manager_feat, goals, segment_labels
+
+    def __call__(
+        self, x, trg, masks,
+        mix_factor: Optional[jnp.ndarray] = None,
+        exploration: bool = False,
+        deterministic: bool = True,
+    ):
+        V, A = x
+        if isinstance(trg, (tuple, list)):
+            # scheduled-sampling mix of GT and model tokens (ref :611-625)
+            y, y_hat = trg
+            f = mix_factor if mix_factor is not None else jnp.asarray(1.0)
+            C_emb = self.emb_C(y) * (1.0 - f) + self.emb_C(y_hat) * f
+        else:
+            C_emb = self.emb_C(trg)
+        Va, Av = self.encode(V, A, masks, deterministic)
+        return self.predict_with_features(
+            C_emb, Va, Av, masks, exploration, deterministic)
+
+    def inference(self, x, trg, masks):
+        return self(x, trg, masks, deterministic=True)[0]
+
+
+class BMWorkerValueFunction(nn.Module):
+    """Worker reward baseline: FFN(d, 2d) -> ReLU -> Linear(d -> 1) on worker
+    features (the goal input is accepted and ignored, matching the reference).
+    ref: bm_hrl_agent.py:251-269."""
+
+    d_model_caps: int = 300
+    dout_p: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
+        w_feat = x[0] if isinstance(x, (tuple, list)) else x
+        d = self.d_model_caps
+        h = PositionwiseFeedForward(d, 2 * d, self.dout_p, jnp.float32,
+                                    name="value_function")(
+            w_feat.astype(jnp.float32), deterministic)
+        h = nn.relu(h)
+        return nn.Dense(1, dtype=jnp.float32, name="projection")(h)
+
+
+class BMManagerValueFunction(nn.Module):
+    """Manager reward baseline. ref: bm_hrl_agent.py:272-286."""
+
+    d_model_caps: int = 300
+    dout_p: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
+        d = self.d_model_caps
+        h = PositionwiseFeedForward(d, 2 * d, self.dout_p, jnp.float32,
+                                    name="value_function")(
+            x.astype(jnp.float32), deterministic)
+        h = nn.relu(h)
+        return nn.Dense(1, dtype=jnp.float32, name="projection")(h)
