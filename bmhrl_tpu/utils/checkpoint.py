@@ -1,0 +1,263 @@
+"""Checkpointing: orbax per-component saves + PyTorch interop.
+
+Mirrors the reference layout (per-component files in epoch dirs,
+ref: bm_hrl_agent.py:547-553, train_rl_captioning_module.py:214-240) using
+orbax for the native format, plus converters for the reference's ``.pt`` /
+``.cp`` files:
+- ``load_torch_critic``: pretrained SegmentCritic weights (``critic.cp``,
+  ref: bm_hrl_agent.py:201) -> our flax critic params. Torch gate
+  layouts map 1:1 because models/critic.py uses torch cell math.
+- full-agent import/export for BMHrlAgent ``bm_hrl_agent.pt`` state_dicts.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax native checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str, state, name: str = "state") -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(ckpt_dir: str, abstract_state, name: str = "state"):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, abstract_state)
+
+
+# ---------------------------------------------------------------------------
+# torch interop
+# ---------------------------------------------------------------------------
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def load_torch_critic(path: str) -> Dict[str, Any]:
+    """critic.cp (torch state_dict of the reference SegmentCritic) -> flax
+    params subtree for models.critic.SegmentCritic."""
+    sd = _load_torch_state_dict(path)
+    out: Dict[str, Any] = {}
+    for l in range(4):
+        out[f"lstm_l{l}"] = {
+            "weight_ih": sd[f"lstm.weight_ih_l{l}"],
+            "weight_hh": sd[f"lstm.weight_hh_l{l}"],
+            "bias_ih": sd[f"lstm.bias_ih_l{l}"],
+            "bias_hh": sd[f"lstm.bias_hh_l{l}"],
+        }
+    for l in range(2):
+        out[f"gru_l{l}"] = {
+            "weight_ih": sd[f"gru.weight_ih_l{l}"],
+            "weight_hh": sd[f"gru.weight_hh_l{l}"],
+            "bias_ih": sd[f"gru.bias_ih_l{l}"],
+            "bias_hh": sd[f"gru.bias_hh_l{l}"],
+        }
+    out["lin"] = {"kernel": sd["lin.weight"].T, "bias": sd["lin.bias"]}
+    out["relu"] = {"alpha": sd["relu.alpha"], "beta": sd["relu.beta"]}
+    out["relu2"] = {"alpha": sd["relu2.alpha"], "beta": sd["relu2.beta"]}
+    return jax.tree.map(np.asarray, out)
+
+
+def install_critic(cap_params, critic_path: str):
+    """Overwrite the agent's critic subtree with pretrained torch weights."""
+    critic = load_torch_critic(critic_path)
+    params = jax.tree.map(lambda x: x, cap_params)  # shallow copy
+    params["params"] = dict(params["params"])
+    params["params"]["critic"] = critic
+    return params
+
+
+# -- full BMHrlAgent torch <-> flax mapping ---------------------------------
+
+def _mha_map(sd, prefix, tree):
+    for tname, pname in [("linear_Q2d", "linear_Q2d"), ("linear_K2d", "linear_K2d"),
+                         ("linear_V2d", "linear_V2d"), ("linear_d2Q", "linear_d2Q")]:
+        tree[pname] = {
+            "kernel": sd[f"{prefix}.{tname}.weight"].T,
+            "bias": sd[f"{prefix}.{tname}.bias"],
+        }
+
+
+def _dense(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _ff(sd, prefix):
+    return {"fc1": _dense(sd, f"{prefix}.fc1"), "fc2": _dense(sd, f"{prefix}.fc2")}
+
+
+def _res(sd, prefix):
+    return {"norm": _ln(sd, f"{prefix}.norm")}
+
+
+def _mha(sd, prefix):
+    t: Dict[str, Any] = {}
+    _mha_map(sd, prefix, t)
+    return t
+
+
+def import_torch_bmhrl(path: str, n_layers: int = 2) -> Dict[str, Any]:
+    """bm_hrl_agent.pt (reference state_dict) -> flax params['params'] tree
+    for models.bmhrl.BMHrlAgent. ref module names: bm_hrl_agent.py:509-536."""
+    sd = _load_torch_state_dict(path)
+    p: Dict[str, Any] = {}
+
+    # embedding (plain nn.Embedding path; the GloVe adapter variant uses
+    # embedder.0/1 keys — handled if present)
+    if "emb_C.embedder.weight" in sd:
+        p["emb_C"] = {"embedding": {"embedding": sd["emb_C.embedder.weight"]}}
+    else:
+        p["emb_C"] = {"embedding": {"embedding": sd["emb_C.embedder.0.weight"]}}
+
+    # critic
+    crit: Dict[str, Any] = {}
+    for l in range(4):
+        crit[f"lstm_l{l}"] = {
+            "weight_ih": sd[f"critic.lstm.weight_ih_l{l}"],
+            "weight_hh": sd[f"critic.lstm.weight_hh_l{l}"],
+            "bias_ih": sd[f"critic.lstm.bias_ih_l{l}"],
+            "bias_hh": sd[f"critic.lstm.bias_hh_l{l}"],
+        }
+    for l in range(2):
+        crit[f"gru_l{l}"] = {
+            "weight_ih": sd[f"critic.gru.weight_ih_l{l}"],
+            "weight_hh": sd[f"critic.gru.weight_hh_l{l}"],
+            "bias_ih": sd[f"critic.gru.bias_ih_l{l}"],
+            "bias_hh": sd[f"critic.gru.bias_hh_l{l}"],
+        }
+    crit["lin"] = _dense(sd, "critic.lin")
+    crit["relu"] = {"alpha": sd["critic.relu.alpha"], "beta": sd["critic.relu.beta"]}
+    crit["relu2"] = {"alpha": sd["critic.relu2.alpha"], "beta": sd["critic.relu2.beta"]}
+    p["critic"] = crit
+
+    # encoder stack (reference LayerStack: bm_enc.encoder.layers.{i})
+    enc: Dict[str, Any] = {}
+    for i in range(n_layers):
+        pref = f"bm_enc.encoder.layers.{i}"
+        layer: Dict[str, Any] = {}
+        for name in ["self_att_M1", "self_att_M2", "bi_modal_att_M1", "bi_modal_att_M2"]:
+            layer[name] = _mha(sd, f"{pref}.{name}")
+        layer["ff_M1"] = _ff(sd, f"{pref}.feed_forward_M1")
+        layer["ff_M2"] = _ff(sd, f"{pref}.feed_forward_M2")
+        for j in range(3):
+            layer[f"res_M1_{j}"] = _res(sd, f"{pref}.res_layers_M1.{j}")
+            layer[f"res_M2_{j}"] = _res(sd, f"{pref}.res_layers_M2.{j}")
+        enc[f"layer_{i}"] = layer
+    p["bm_enc"] = enc
+
+    # fusion stacks
+    for ours, theirs in [("bm_worker_fus", "bm_worker_fus"),
+                         ("bm_manager_fus", "bm_manager_fus")]:
+        fus: Dict[str, Any] = {}
+        for i in range(n_layers):
+            pref = f"{theirs}.decoder.layers.{i}"
+            layer = {
+                "self_att": _mha(sd, f"{pref}.self_att"),
+                "enc_att_A": _mha(sd, f"{pref}.enc_att_A"),
+                "enc_att_V": _mha(sd, f"{pref}.enc_att_V"),
+                "res_self_att": _res(sd, f"{pref}.res_layer_self_att"),
+                "res_enc_att_A": _res(sd, f"{pref}.res_layer_enc_att_A"),
+                "res_enc_att_V": _res(sd, f"{pref}.res_layer_enc_att_V"),
+                "normCA": _ln(sd, f"{pref}.normCA"),
+                "normCV": _ln(sd, f"{pref}.normCV"),
+                "a_v_constant": sd[f"{pref}.a_v_constant"],
+            }
+            fus[f"layer_{i}"] = layer
+        p[ours] = fus
+
+    p["manager"] = {"linear": _dense(sd, "manager.linear")}
+    p["worker"] = {
+        "goal_attention": _mha(sd, "worker.goal_attention"),
+        "projection": _dense(sd, "worker.core.projection"),
+    }
+    return jax.tree.map(np.asarray, p)
+
+
+def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2):
+    """Inverse of import_torch_bmhrl (checkpoint export for reference users)."""
+    import torch
+
+    p = jax.tree.map(np.asarray, params.get("params", params))
+    sd: Dict[str, Any] = {}
+
+    def put(key, arr):
+        sd[key] = torch.tensor(np.asarray(arr))
+
+    def dense(prefix, t):
+        put(f"{prefix}.weight", t["kernel"].T)
+        put(f"{prefix}.bias", t["bias"])
+
+    def ln(prefix, t):
+        put(f"{prefix}.weight", t["scale"])
+        put(f"{prefix}.bias", t["bias"])
+
+    def mha(prefix, t):
+        for n in ["linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"]:
+            dense(f"{prefix}.{n}", t[n])
+
+    put("emb_C.embedder.weight", p["emb_C"]["embedding"]["embedding"])
+    crit = p["critic"]
+    for l in range(4):
+        for k in ["weight_ih", "weight_hh", "bias_ih", "bias_hh"]:
+            put(f"critic.lstm.{k}_l{l}", crit[f"lstm_l{l}"][k])
+    for l in range(2):
+        for k in ["weight_ih", "weight_hh", "bias_ih", "bias_hh"]:
+            put(f"critic.gru.{k}_l{l}", crit[f"gru_l{l}"][k])
+    dense("critic.lin", crit["lin"])
+    for r in ["relu", "relu2"]:
+        put(f"critic.{r}.alpha", crit[r]["alpha"])
+        put(f"critic.{r}.beta", crit[r]["beta"])
+    for i in range(n_layers):
+        layer = p["bm_enc"][f"layer_{i}"]
+        pref = f"bm_enc.encoder.layers.{i}"
+        for n in ["self_att_M1", "self_att_M2", "bi_modal_att_M1", "bi_modal_att_M2"]:
+            mha(f"{pref}.{n}", layer[n])
+        for ours, theirs in [("ff_M1", "feed_forward_M1"), ("ff_M2", "feed_forward_M2")]:
+            dense(f"{pref}.{theirs}.fc1", layer[ours]["fc1"])
+            dense(f"{pref}.{theirs}.fc2", layer[ours]["fc2"])
+        for j in range(3):
+            ln(f"{pref}.res_layers_M1.{j}.norm", layer[f"res_M1_{j}"]["norm"])
+            ln(f"{pref}.res_layers_M2.{j}.norm", layer[f"res_M2_{j}"]["norm"])
+    for name in ["bm_worker_fus", "bm_manager_fus"]:
+        for i in range(n_layers):
+            layer = p[name][f"layer_{i}"]
+            pref = f"{name}.decoder.layers.{i}"
+            for n in ["self_att", "enc_att_A", "enc_att_V"]:
+                mha(f"{pref}.{n}", layer[n])
+            for ours, theirs in [("res_self_att", "res_layer_self_att"),
+                                 ("res_enc_att_A", "res_layer_enc_att_A"),
+                                 ("res_enc_att_V", "res_layer_enc_att_V")]:
+                ln(f"{pref}.{theirs}.norm", layer[ours]["norm"])
+            ln(f"{pref}.normCA", layer["normCA"])
+            ln(f"{pref}.normCV", layer["normCV"])
+            put(f"{pref}.a_v_constant", layer["a_v_constant"])
+    dense("manager.linear", p["manager"]["linear"])
+    mha("worker.goal_attention", p["worker"]["goal_attention"])
+    dense("worker.core.projection", p["worker"]["projection"])
+
+    import torch
+
+    torch.save(sd, path)
+    return path
