@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from bmhrl_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 
@@ -48,10 +51,14 @@ def main():
         (feats["rgb"] + feats["flow"], feats["audio"]), trg0, m0)
 
     # --- ours: encode once + jitted while_loop decode
+    # end_idx=-1 forces full-length generation: an untrained model emits
+    # </s> immediately, which would let the loop exit after one step and
+    # flatter the number; a trained model generates 10-30 tokens, so the
+    # full-length cost is the honest per-clip bound for both paths.
     def run_ours():
-        toks, _ = decode(model, params, feats, masks_src, MAX_LEN, 2, 3, 1,
+        toks, _ = decode(model, params, feats, masks_src, MAX_LEN, 2, -1, 1,
                          greedy=True)
-        return jax.block_until_ready(toks)
+        return np.asarray(toks)  # host fetch: the only reliable sync on axon
 
     run_ours()  # compile
     t0 = time.time()
@@ -76,7 +83,7 @@ def main():
             preds = full_forward(params, trg)
             nxt = jnp.argmax(preds[:, t], -1).astype(jnp.int32)
             trg = trg.at[:, t + 1].set(nxt)
-        return jax.block_until_ready(trg)
+        return np.asarray(trg)
 
     run_reference_style()  # compile
     t0 = time.time()

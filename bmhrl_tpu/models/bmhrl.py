@@ -322,6 +322,35 @@ class BMHrlAgent(nn.Module):
         return self.predict_with_features(
             C_emb, Va, Av, masks, exploration, deterministic)
 
+    # -- incremental decode support -----------------------------------------
+    def critic_init_state(self, B: int):
+        return self.critic.init_state(B)
+
+    def critic_step(self, token_t: jnp.ndarray, state):
+        """Advance the frozen critic by one token (B,) -> ((B,) logit, state).
+        Input is the raw token id; embedding+scaling happens here so the
+        decode loop never re-embeds the whole buffer for the critic."""
+        emb_t = self.emb_C(token_t[:, None])[:, 0]
+        score, state = self.critic.step(emb_t, state)
+        return score[:, 0], state
+
+    def decode_with_labels(
+        self, trg, segment_labels, Va, Av, masks,
+        exploration: bool = False, deterministic: bool = True,
+    ):
+        """Caption-side forward with externally supplied critic segment
+        labels (maintained incrementally by the decode loop via
+        ``critic_step``). Removes the critic's full-sequence RNN rescan from
+        every decode iteration."""
+        C_emb = self.emb_C(trg)
+        C = self.pos_enc_C(C_emb, deterministic).astype(self.dtype)
+        worker_feat = self.bm_worker_fus((C, (Av, Va)), masks, deterministic)
+        manager_feat = self.bm_manager_fus((C, (Av, Va)), masks, deterministic)
+        goals = self.manager(
+            manager_feat, segment_labels, exploration, deterministic)
+        pred = self.worker(worker_feat, goals, masks["C_mask"], deterministic)
+        return pred, worker_feat, manager_feat, goals, segment_labels
+
     def decode_logits(
         self, trg, Va, Av, masks,
         exploration: bool = False, deterministic: bool = True,

@@ -4,14 +4,22 @@
 Cells are implemented with torch's exact gate math and parameter layout
 (w_ih: (4H, in) with gate order [i, f, g, o]; GRU [r, z, n] with
 n = tanh(W_in x + b_in + r * (W_hn h + b_hn))) so pretrained ``critic.cp``
-PyTorch weights map 1:1 (utils/checkpoint.py). The time loop is a
-``lax.scan``; carries are (B, H). The critic is frozen: its output is wrapped
-in ``stop_gradient`` (ref :206 torch.no_grad) and its params are masked out of
-every optimizer.
+PyTorch weights map 1:1 (utils/checkpoint.py).
+
+Two evaluation paths over the same params:
+- ``__call__``: full-sequence ``lax.scan`` (training / teacher forcing);
+- ``init_state`` + ``step``: incremental single-token stepping for the
+  autoregressive decoder — the RNN state carries across decode steps, so
+  each generated token costs 6 cell updates instead of a full 6-layer
+  rescan of the whole buffer (critical on TPU, where a scan nested inside
+  the decode loop both compiles and dispatches pathologically).
+
+The critic is frozen: outputs are wrapped in ``stop_gradient``
+(ref :206 torch.no_grad) and its params are masked out of every optimizer.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,65 +39,88 @@ def _rnn_param(shape):
 
 
 class LSTMLayer(nn.Module):
-    """Single torch-semantics LSTM layer over (B, L, D_in) -> (B, L, H)."""
+    """Torch-semantics LSTM layer; full scan or single cell step."""
 
     d_in: int
     d_hidden: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         H = self.d_hidden
-        w_ih = self.param("weight_ih", _rnn_param((4 * H, self.d_in)))
-        w_hh = self.param("weight_hh", _rnn_param((4 * H, H)))
-        b_ih = self.param("bias_ih", _rnn_param((4 * H,)))
-        b_hh = self.param("bias_hh", _rnn_param((4 * H,)))
+        self.weight_ih = self.param("weight_ih", _rnn_param((4 * H, self.d_in)))
+        self.weight_hh = self.param("weight_hh", _rnn_param((4 * H, H)))
+        self.bias_ih = self.param("bias_ih", _rnn_param((4 * H,)))
+        self.bias_hh = self.param("bias_hh", _rnn_param((4 * H,)))
+
+    def _cell(self, xg, h, c):
+        gates = xg + h @ self.weight_hh.T + self.bias_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return h, c
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B = x.shape[0]
-        xg = jnp.einsum("bld,gd->blg", x.astype(jnp.float32), w_ih) + b_ih
+        H = self.d_hidden
+        xg = jnp.einsum("bld,gd->blg", x.astype(jnp.float32),
+                        self.weight_ih) + self.bias_ih
 
         def step(carry, xt):
-            h, c = carry
-            gates = xt + h @ w_hh.T + b_hh
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-            g = jnp.tanh(g)
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
+            h, c = self._cell(xt, *carry)
             return (h, c), h
 
         init = (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
         _, hs = jax.lax.scan(step, init, xg.transpose(1, 0, 2))
         return hs.transpose(1, 0, 2)
 
+    def step(self, xt: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray]):
+        """xt: (B, d_in); state: (h, c) each (B, H)."""
+        xg = xt.astype(jnp.float32) @ self.weight_ih.T + self.bias_ih
+        h, c = self._cell(xg, *state)
+        return h, (h, c)
+
 
 class GRULayer(nn.Module):
-    """Single torch-semantics GRU layer over (B, L, D_in) -> (B, L, H)."""
+    """Torch-semantics GRU layer; full scan or single cell step."""
 
     d_in: int
     d_hidden: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         H = self.d_hidden
-        w_ih = self.param("weight_ih", _rnn_param((3 * H, self.d_in)))
-        w_hh = self.param("weight_hh", _rnn_param((3 * H, H)))
-        b_ih = self.param("bias_ih", _rnn_param((3 * H,)))
-        b_hh = self.param("bias_hh", _rnn_param((3 * H,)))
+        self.weight_ih = self.param("weight_ih", _rnn_param((3 * H, self.d_in)))
+        self.weight_hh = self.param("weight_hh", _rnn_param((3 * H, H)))
+        self.bias_ih = self.param("bias_ih", _rnn_param((3 * H,)))
+        self.bias_hh = self.param("bias_hh", _rnn_param((3 * H,)))
+
+    def _cell(self, xg, h):
+        hg = h @ self.weight_hh.T + self.bias_hh
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = nn.sigmoid(xr + hr)
+        z = nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B = x.shape[0]
-        xg = jnp.einsum("bld,gd->blg", x.astype(jnp.float32), w_ih) + b_ih
+        H = self.d_hidden
+        xg = jnp.einsum("bld,gd->blg", x.astype(jnp.float32),
+                        self.weight_ih) + self.bias_ih
 
         def step(h, xt):
-            hg = h @ w_hh.T + b_hh
-            xr, xz, xn = jnp.split(xt, 3, axis=-1)
-            hr, hz, hn = jnp.split(hg, 3, axis=-1)
-            r = nn.sigmoid(xr + hr)
-            z = nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            h = (1.0 - z) * n + z * h
+            h = self._cell(xt, h)
             return h, h
 
         init = jnp.zeros((B, H), jnp.float32)
         _, hs = jax.lax.scan(step, init, xg.transpose(1, 0, 2))
         return hs.transpose(1, 0, 2)
+
+    def step(self, xt: jnp.ndarray, h: jnp.ndarray):
+        xg = xt.astype(jnp.float32) @ self.weight_ih.T + self.bias_ih
+        h = self._cell(xg, h)
+        return h, h
 
 
 class SegmentCritic(nn.Module):
@@ -97,16 +128,48 @@ class SegmentCritic(nn.Module):
 
     d_model_caps: int = 300
 
-    @nn.compact
-    def __call__(self, embedded: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         D = self.d_model_caps
         H = 2 * D
+        self.lstm_layers = [
+            LSTMLayer(D if l == 0 else H, H, name=f"lstm_l{l}")
+            for l in range(4)]
+        self.gru_layers = [GRULayer(H, H, name=f"gru_l{l}") for l in range(2)]
+        self.relu = AReLU(name="relu")
+        self.relu2 = AReLU(name="relu2")
+        self.lin = nn.Dense(1, dtype=jnp.float32, name="lin")
+
+    def __call__(self, embedded: jnp.ndarray) -> jnp.ndarray:
         h = embedded.astype(jnp.float32)
-        for l in range(4):
-            h = LSTMLayer(D if l == 0 else H, H, name=f"lstm_l{l}")(h)
-        h = AReLU(name="relu")(h)
-        for l in range(2):
-            h = GRULayer(H, H, name=f"gru_l{l}")(h)
-        h = AReLU(name="relu2")(h)
-        out = nn.Dense(1, dtype=jnp.float32, name="lin")(h)
-        return jax.lax.stop_gradient(out)
+        for layer in self.lstm_layers:
+            h = layer(h)
+        h = self.relu(h)
+        for layer in self.gru_layers:
+            h = layer(h)
+        h = self.relu2(h)
+        return jax.lax.stop_gradient(self.lin(h))
+
+    # -- incremental stepping (decode path) ---------------------------------
+    def init_state(self, B: int) -> Any:
+        H = 2 * self.d_model_caps
+        z = jnp.zeros((B, H), jnp.float32)
+        return {
+            "lstm": [(z, z) for _ in range(4)],
+            "gru": [z for _ in range(2)],
+        }
+
+    def step(self, emb_t: jnp.ndarray, state: Any):
+        """emb_t: (B, d_caps) scaled token embedding -> ((B, 1) logit, state)."""
+        h = emb_t.astype(jnp.float32)
+        new_lstm: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+        for layer, st in zip(self.lstm_layers, state["lstm"]):
+            h, st2 = layer.step(h, st)
+            new_lstm.append(st2)
+        h = self.relu(h[:, None, :])[:, 0]
+        new_gru: List[jnp.ndarray] = []
+        for layer, st in zip(self.gru_layers, state["gru"]):
+            h, st2 = layer.step(h, st)
+            new_gru.append(st2)
+        h = self.relu2(h[:, None, :])[:, 0]
+        out = jax.lax.stop_gradient(self.lin(h))
+        return out, {"lstm": new_lstm, "gru": new_gru}

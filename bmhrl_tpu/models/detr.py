@@ -1,0 +1,337 @@
+"""DETR-style captioner (mode=DETR, the reference CLI's default).
+
+Parity targets:
+- model/det_bmhrl_agent.py:12-208 (DetrCaption: stacked Conv1d+GroupNorm
+  temporal projections, post-norm TransformerEncoder over video, ObjectDetect
+  head feeding decoder cross-attention, TransformerDecoder worker,
+  manager path disabled via use_manager=False, end tokens replaced by pad in
+  the input);
+- model/encoder.py:10-75 (post-norm encoder; Q,K get positional encoding, V
+  does not);
+- model/decoder.py:7-107 (decoder with causal self-attention when the
+  pos-enc callable is used, cross-attention to memory with the *pre-self-att*
+  queries — a reference quirk kept here — optional goal attention, optional
+  detected-object attention whose mask the reference drops);
+- model/object_detector.py:8-46 (mini-DETR: 100 learned queries, 6-layer
+  encoder/decoder @ 256, class head over vocab+1 with a "no word" class).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from bmhrl_tpu.models.attention import MultiheadedAttention
+from bmhrl_tpu.models.blocks import PositionalEncoder, VocabularyEmbedder
+from bmhrl_tpu.models.critic import SegmentCritic
+
+PAD, EOS = 1, 3
+
+
+class DetrEncoderLayer(nn.Module):
+    """Post-norm encoder layer; Q,K carry position, V does not.
+    ref: encoder.py:39-75."""
+
+    d_model: int
+    nhead: int
+    dim_ff: int
+    dout_p: float
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, src, mask, pos_enc, deterministic: bool = True):
+        att = MultiheadedAttention(
+            self.d_model, self.d_model, self.d_model, self.nhead,
+            self.dout_p, self.d_model, dtype=self.dtype, name="self_attn")
+        q = pos_enc(src, deterministic)
+        src2 = att(q, q, src, mask, deterministic=deterministic)
+        src = src + nn.Dropout(self.dout_p)(src2, deterministic=deterministic)
+        src = nn.LayerNorm(name="norm1")(src.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dout_p)(h, deterministic=deterministic)
+        src2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        src = src + nn.Dropout(self.dout_p)(src2, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(src.astype(jnp.float32)).astype(self.dtype)
+
+
+class DetrEncoder(nn.Module):
+    """ref: encoder.py:10-36 (return_intermediate=False path + final norm)."""
+
+    d_model: int
+    nhead: int
+    dim_ff: int
+    dout_p: float
+    num_layers: int
+    final_norm: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, src, mask, pos_enc, deterministic: bool = True):
+        out = src
+        for i in range(self.num_layers):
+            out = DetrEncoderLayer(
+                self.d_model, self.nhead, self.dim_ff, self.dout_p,
+                self.dtype, name=f"layer_{i}")(out, mask, pos_enc, deterministic)
+        if self.final_norm:
+            out = nn.LayerNorm(name="norm")(out.astype(jnp.float32)).astype(self.dtype)
+        return out
+
+
+class DetrDecoderLayer(nn.Module):
+    """ref: decoder.py:39-107 — including the reference's quirky orders:
+    self-att residual adds the attention output to the *normed* tgt; the
+    cross/goal/object attentions use the pre-self-attention queries; the
+    object-attention mask is dropped."""
+
+    d_model: int  # memory dim
+    nhead: int
+    d_model_C: int
+    d_goal: int
+    dim_ff: int
+    dout_p: float
+    d_obj: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask, pos_enc, query_pos_enc,
+                 query_mask, goal=None, goal_mask=None, goal_pos_enc=None,
+                 add_pos: Optional[jnp.ndarray] = None,
+                 detected_objects=None, deterministic: bool = True):
+        dd = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
+        self_attn = MultiheadedAttention(
+            self.d_model_C, self.d_model_C, self.d_model_C, self.nhead,
+            name="self_attn", **dd)
+        cross_attn = MultiheadedAttention(
+            self.d_model_C, self.d_model, self.d_model, self.nhead,
+            name="multihead_attn", **dd)
+        goal_attn = MultiheadedAttention(
+            self.d_model_C, self.d_goal, self.d_goal, self.nhead,
+            name="goal_attention", **dd)
+        det_attn = MultiheadedAttention(
+            self.d_model_C, self.d_obj, self.d_obj, self.nhead,
+            name="detected_attention", **dd)
+        det = deterministic
+        drop = lambda i, x: nn.Dropout(self.dout_p, name=f"dropout{i}")(
+            x, deterministic=det)
+
+        if add_pos is None:
+            q = k = query_pos_enc(tgt, det)
+            causal = True
+        else:
+            q = k = tgt + add_pos
+            causal = False
+        tgt2 = self_attn(q, k, tgt, query_mask, causal=causal, deterministic=det)
+        # reference order: norm BEFORE the residual add (decoder.py:77-78)
+        tgt = nn.LayerNorm(name="norm1")(tgt.astype(jnp.float32)).astype(self.dtype)
+        tgt = tgt + drop(1, tgt2)
+
+        tgt2 = cross_attn(q, pos_enc(memory, det), memory, memory_mask,
+                          deterministic=det)
+        tgt = tgt + drop(2, tgt2)
+        tgt = nn.LayerNorm(name="norm2")(tgt.astype(jnp.float32)).astype(self.dtype)
+        if goal is not None:
+            tgt2 = goal_attn(query_pos_enc(tgt, det), goal_pos_enc(goal, det),
+                             goal, goal_mask, deterministic=det)
+            tgt = tgt + drop(4, tgt2)
+            tgt = nn.LayerNorm(name="norm4")(tgt.astype(jnp.float32)).astype(self.dtype)
+        if detected_objects is not None:
+            # the reference drops the object mask (decoder.py:107)
+            tgt2 = det_attn(q, detected_objects, detected_objects, None,
+                            deterministic=det)
+            tgt = tgt + drop(5, tgt2)
+            tgt = nn.LayerNorm(name="norm5")(tgt.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(tgt)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dout_p)(h, deterministic=det)
+        tgt2 = nn.Dense(self.d_model_C, dtype=self.dtype, name="linear2")(h)
+        tgt = tgt + drop(3, tgt2)
+        return nn.LayerNorm(name="norm3")(tgt.astype(jnp.float32)).astype(self.dtype)
+
+
+class DetrDecoder(nn.Module):
+    """ref: decoder.py:7-36 (return_intermediate=False + final norm)."""
+
+    d_model: int
+    nhead: int
+    d_model_C: int
+    d_goal: int
+    dim_ff: int
+    dout_p: float
+    num_layers: int
+    d_obj: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask, pos_enc, query_pos_enc,
+                 query_mask, goal=None, goal_mask=None, goal_pos_enc=None,
+                 add_pos=None, detected_objects=None,
+                 deterministic: bool = True):
+        out = tgt
+        for i in range(self.num_layers):
+            out = DetrDecoderLayer(
+                self.d_model, self.nhead, self.d_model_C, self.d_goal,
+                self.dim_ff, self.dout_p, self.d_obj, self.dtype,
+                name=f"layer_{i}")(
+                out, memory, memory_mask, pos_enc, query_pos_enc, query_mask,
+                goal, goal_mask, goal_pos_enc, add_pos, detected_objects,
+                deterministic)
+        return nn.LayerNorm(name="norm")(out.astype(jnp.float32)).astype(self.dtype)
+
+
+class ObjectDetect(nn.Module):
+    """Mini-DETR word-set detector. ref: object_detector.py:8-46."""
+
+    voc_size: int
+    d_model: int
+    d_goal: int
+    dout_p: float
+    hidden_dim: int = 256
+    num_queries: int = 100
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, samples, mask, deterministic: bool = True):
+        num_classes = self.voc_size + 1
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     name="input_projection")(samples)
+        pos_enc = PositionalEncoder(self.hidden_dim, self.dout_p,
+                                    name="pos_enc")
+        memory = DetrEncoder(
+            self.hidden_dim, 4, 2048, self.dout_p, 6, dtype=self.dtype,
+            name="encoder")(x, mask, pos_enc, deterministic)
+        B = samples.shape[0]
+        query_pos = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, self.hidden_dim))
+        qp = jnp.broadcast_to(query_pos[None], (B, self.num_queries,
+                                                self.hidden_dim)).astype(self.dtype)
+        tgt = jnp.zeros_like(qp)
+        hs = DetrDecoder(
+            self.hidden_dim, 4, self.hidden_dim, self.d_goal, 2048,
+            self.dout_p, 6, dtype=self.dtype, name="decoder")(
+            tgt, memory, mask, pos_enc, pos_enc, None, add_pos=qp,
+            deterministic=deterministic)
+        predicted_words = nn.Dense(num_classes, dtype=jnp.float32,
+                                   name="class_embed")(hs.astype(jnp.float32))
+        no_word = (jnp.argmax(nn.softmax(predicted_words, -1), -1)
+                   == (num_classes - 1))
+        return predicted_words, jax.lax.stop_gradient(hs), jax.lax.stop_gradient(no_word)
+
+
+class DetrCaption(nn.Module):
+    """DETR-variant captioner. ref: det_bmhrl_agent.py:12-208 (the executed
+    path: use_manager=False, pre_goal_attention=False)."""
+
+    voc_size: int
+    d_model: int = 1024
+    d_model_caps: int = 300
+    d_goal: int = 64
+    nhead: int = 4
+    num_layers: int = 3
+    n_time: int = 3
+    dim_ff: int = 2048
+    dout_p: float = 0.1
+    critic_score_threshold: float = 0.25
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.pos_enc = PositionalEncoder(self.d_model, self.dout_p)
+        self.pos_enc_C = PositionalEncoder(self.d_model_caps, self.dout_p)
+        self.emb_C = VocabularyEmbedder(self.voc_size, self.d_model_caps)
+        self.critic = SegmentCritic(self.d_model_caps)
+        # stacked temporal Conv1d projections with GroupNorm (ref :79-91)
+        self.input_proj = [
+            nn.Conv(self.d_model, kernel_size=(3 * (i + 1),), padding="SAME",
+                    dtype=self.dtype, name=f"input_proj_{i}")
+            for i in range(self.n_time)]
+        self.input_norms = [
+            nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+                         name=f"input_norm_{i}")
+            for i in range(self.n_time)]
+        self.encoder = DetrEncoder(
+            self.d_model, self.nhead, self.dim_ff, self.dout_p,
+            self.num_layers, dtype=self.dtype, name="encoder")
+        self.object_detector = ObjectDetect(
+            self.voc_size, self.d_model, self.d_goal, self.dout_p,
+            dtype=self.dtype, name="object_detector")
+        self.worker_decoder = DetrDecoder(
+            self.d_model, self.nhead, self.d_model_caps, self.d_goal,
+            self.dim_ff, self.dout_p, self.num_layers, dtype=self.dtype,
+            name="worker_decoder")
+        self.linear = nn.Dense(self.voc_size, dtype=jnp.float32, name="linear")
+
+    # -- pieces --------------------------------------------------------------
+    def project_video(self, x_video, deterministic: bool = True):
+        vf = x_video.astype(self.dtype)
+        for conv, norm in zip(self.input_proj, self.input_norms):
+            vf = conv(vf)
+            vf = norm(vf.astype(jnp.float32)).astype(self.dtype)
+        return vf
+
+    def encode(self, V, A, masks, deterministic: bool = True):
+        """Returns (memory, detected-object embeddings) in the generic
+        (Va, Av) memory slots used by the decode loop."""
+        vf = self.project_video(V, deterministic)
+        mask = masks["V_mask"]
+        _, hs_obj, _ = self.object_detector(vf, mask, deterministic)
+        memory = self.encoder(vf, mask, self.pos_enc, deterministic)
+        return memory, hs_obj
+
+    def caption_head(self, trg, memory, hs_obj, masks,
+                     deterministic: bool = True):
+        trg = jnp.where(trg == EOS, PAD, trg)  # ref :151-152
+        C = self.emb_C(trg)
+        wf = self.worker_decoder(
+            C.astype(self.dtype), memory, masks["V_mask"], self.pos_enc,
+            self.pos_enc_C, masks["C_mask"], detected_objects=hs_obj,
+            deterministic=deterministic)
+        pred = nn.log_softmax(self.linear(wf.astype(jnp.float32)), axis=-1)
+        return pred, wf
+
+    def __call__(self, x, trg, masks, mix_factor=None, exploration=False,
+                 deterministic: bool = True):
+        """Returns (pred, worker_feat[:, :, :300], memory, None-goals,
+        None-segments, prediction_classes) — the reference 6-tuple with the
+        unused slots as zeros (static shapes). ref :148-208."""
+        V, A = x
+        vf = self.project_video(V, deterministic)
+        mask = masks["V_mask"]
+        classified_words, hs_obj, _ = self.object_detector(
+            vf, mask, deterministic)
+        memory = self.encoder(vf, mask, self.pos_enc, deterministic)
+        pred, wf = self.caption_head(trg, memory, hs_obj, masks, deterministic)
+        B, Lc = trg.shape
+        zeros_goal = jnp.zeros((B, Lc, self.d_goal), jnp.float32)
+        zeros_seg = jnp.zeros((B, Lc), jnp.int32)
+        return (pred, wf[:, :, : self.d_model_caps], memory, zeros_goal,
+                zeros_seg, classified_words)
+
+    # -- decode-loop contract (shared with BMHrlAgent) -----------------------
+    # The executed DETR path disables the manager (use_manager=False,
+    # ref :165-186), so segment labels never influence decoding; the critic
+    # hooks are inert zero-cost stubs (the critic module itself is also
+    # unused at init, matching the reference's dead critic on this path).
+    def critic_init_state(self, B: int):
+        return jnp.zeros((B,), jnp.float32)
+
+    def critic_step(self, token_t, state):
+        return jnp.full(token_t.shape, -1e9, jnp.float32), state
+
+    def decode_with_labels(self, trg, segment_labels, Va, Av, masks,
+                           exploration=False, deterministic: bool = True):
+        pred, wf = self.caption_head(trg, Va, Av, masks, deterministic)
+        return pred, wf, Va, None, segment_labels
+
+    def inference(self, x, trg, masks):
+        return self(x, trg, masks)[0]
+
+    @staticmethod
+    def build(cfg, voc_size: int, dtype) -> "DetrCaption":
+        return DetrCaption(
+            voc_size=voc_size, d_model=cfg.d_model,
+            d_model_caps=cfg.d_model_caps, d_goal=cfg.rl_goal_d,
+            nhead=cfg.rl_att_heads, dout_p=cfg.dout_p, dtype=dtype)

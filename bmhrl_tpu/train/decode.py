@@ -1,10 +1,14 @@
 """Jitted autoregressive decoders.
 
 The reference's greedy decoder re-runs the ENTIRE model (bimodal encoder over
-up to 300 video / 800 audio frames included) once per generated token inside a
-Python while-loop (ref: epoch_loops/captioning_bmrl_loops.py:61-76). Here:
+up to 300 video / 800 audio frames + the 6-layer critic RNN over the whole
+caption) once per generated token inside a Python while-loop
+(ref: epoch_loops/captioning_bmrl_loops.py:61-76). Here:
 
-- the encoder runs once per clip;
+- the bimodal encoder runs once per clip;
+- the frozen critic's RNN state is carried across steps (6 cell updates per
+  token instead of a full 6-layer rescan — also keeps the compiled loop body
+  free of nested scans, which compile/dispatch pathologically on TPU);
 - the token loop is a ``lax.while_loop`` over a static (B, max_len+1) buffer
   with the reference's stop condition (all rows emitted </s> or max_len);
 - per step only the caption-side stack (fusion decoders + heads over <=31
@@ -42,20 +46,30 @@ def _decode_loop(
     L = max_len + 1
     trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
     done0 = jnp.zeros((B,), bool)
+    labels0 = jnp.zeros((B, L), jnp.int32)
+    crit0 = model.apply(params, B, method="critic_init_state")
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    thresh = model.critic_score_threshold
 
     def cond(carry):
-        t, trg, done, rng, probs = carry
+        t = carry[0]
+        done = carry[2]
         return (t < max_len) & ~jnp.all(done)
 
     def body(carry):
-        t, trg, done, rng, probs = carry
+        t, trg, done, rng, probs, crit, labels = carry
+        # advance the frozen critic with the token at position t
+        score_t, crit = model.apply(
+            params, trg[jnp.arange(B), t], crit, method="critic_step")
+        lab_t = (jax.nn.sigmoid(score_t) > thresh).astype(jnp.int32)
+        labels = labels.at[:, t].set(lab_t)
+
         masks = dict(masks_src)
         masks["C_mask"] = c_mask(trg, pad_idx)
         preds = model.apply(
-            params, trg, Va, Av, masks, exploration=exploration,
-            valid_len=t, method="decode_logits",
+            params, trg, labels, Va, Av, masks, exploration=exploration,
+            method="decode_with_labels",
             rngs={"noise": jax.random.fold_in(rng, 2 * t + 1)},
         )[0]
         logits_t = preds[jnp.arange(B), t]  # (B, V) log-probs at position t
@@ -69,12 +83,12 @@ def _decode_loop(
         trg = trg.at[:, t + 1].set(nxt)
         probs = probs.at[:, t + 1].set(p_t)
         done = done | (nxt == end_idx)
-        return (t + 1, trg, done, rng, probs)
+        return (t + 1, trg, done, rng, probs, crit, labels)
 
     probs0 = jnp.zeros((B, L), jnp.float32)
-    t, trg, done, rng, probs = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), trg0, done0, rng, probs0))
-    return trg, probs
+    carry = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), trg0, done0, rng, probs0, crit0, labels0))
+    return carry[1], carry[4]
 
 
 @partial(jax.jit, static_argnames=(

@@ -147,7 +147,13 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
 
     glove_loaded = train_ds.train_vocab.vectors is not None
     emb_trainable = (not glove_loaded) or cfg.unfreeze_word_emb
-    sf = StepFactory(cfg, model, wv_model, mv_model, emb_trainable)
+    is_detr = cfg.mode == "DETR"
+    if is_detr:
+        from bmhrl_tpu.train.steps_detr import DetrStepFactory
+
+        sf = DetrStepFactory(cfg, model, wv_model, mv_model, emb_trainable)
+    else:
+        sf = StepFactory(cfg, model, wv_model, mv_model, emb_trainable)
 
     example = train_ds.make_batch(list(range(min(cfg.train_batch_size,
                                                  len(train_ds)))),
@@ -204,7 +210,23 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                 break
             rng, step_rng = jax.random.split(rng)
             bdev = device_batch(batch, mesh)
-            if is_warmstart:
+            if is_detr:
+                # DETR mode trains the same way in warmstart and RL epochs
+                # (ref: train_rl_captioning_module.py:140-145)
+                roll = sf.detr_rollout(state, bdev, step_rng)
+                sampled = np.asarray(roll["sampled"])
+                score, _ = scorer.delta_worker(sampled, batch["captions"])
+                if cfg.with_reinforce:
+                    state, metrics = sf.reinforce_update(
+                        state, bdev, step_rng, lr, roll["sampled"],
+                        jnp.asarray(score))
+                else:
+                    tc = sf.match_targets(roll["pred_classes"], roll["x_idx"])
+                    state, metrics = sf.detr_update(
+                        state, bdev, step_rng, lr, roll["sampled"],
+                        jnp.asarray(score), jnp.asarray(tc))
+                epoch_loss += float(metrics["loss"])
+            elif is_warmstart:
                 state, metrics, aux = sf.warmstart_step(
                     state, bdev, step_rng, lr)
                 w, m, _ = scorer.delta_both(

@@ -95,3 +95,51 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp
     """MSELoss(reduction='none') * mask, then mean — the value-net loss shape
     used throughout the reference epoch loops."""
     return jnp.mean((pred - target) ** 2 * mask)
+
+
+# ---------------------------------------------------------------------------
+# DETR word-set loss (host matching + device CE)
+# ---------------------------------------------------------------------------
+
+
+def hungarian_match(pred_logits, targets, pad_idx: int = 1):
+    """Host-side optimal assignment of DETR queries to caption words.
+    ref: loss/hungarian_matcher.py:5-59 — cost is -softmax_prob[target word],
+    one assignment per batch row over its non-pad tokens.
+
+    pred_logits: np (B, Q, C); targets: np (B, L) token ids.
+    Returns target_classes np (B, Q) int: matched word id per query, or the
+    "no word" class C-1 for unmatched queries (the layout loss_labels builds,
+    ref: captioning_bmrl_loops.py:1114-1129)."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+    from scipy.special import softmax
+
+    pred_logits = np.asarray(pred_logits)
+    targets = np.asarray(targets)
+    B, Q, C = pred_logits.shape
+    num_classes = C - 1
+    out = np.full((B, Q), num_classes, np.int64)
+    probs = softmax(pred_logits, axis=-1)
+    for b in range(B):
+        tgt = targets[b][targets[b] != pad_idx]
+        if len(tgt) == 0:
+            continue
+        cost = -probs[b][:, tgt]  # (Q, T)
+        qi, ti = linear_sum_assignment(cost)
+        out[b, qi] = tgt[ti]
+    return out
+
+
+def detr_word_loss(pred_logits: jnp.ndarray, target_classes: jnp.ndarray,
+                   eos_coef: float = 0.1) -> jnp.ndarray:
+    """Weighted CE over query classifications; the "no word" class is
+    down-weighted by eos_coef. torch F.cross_entropy(weight=empty_weight)
+    semantics: sum(w_t * nll_t) / sum(w_t).
+    ref: captioning_bmrl_loops.py:1114-1129."""
+    B, Q, C = pred_logits.shape
+    num_classes = C - 1
+    logp = jax.nn.log_softmax(pred_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    w = jnp.where(target_classes == num_classes, eos_coef, 1.0)
+    return jnp.sum(w * nll) / jnp.sum(w)

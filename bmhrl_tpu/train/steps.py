@@ -59,10 +59,15 @@ def param_groups(cap_params) -> Dict[str, Any]:
             return "frozen"
         if top == "emb_C":
             return "embedding"
-        if top in ("bm_enc", "bm_worker_fus", "worker",
-                   "uni_enc", "uni_worker_fus"):
+        if top == "worker" or top.startswith(
+                ("bm_enc", "bm_worker_fus", "uni_enc", "uni_worker_fus",
+                 # DETR family: everything but the critic trains in its single
+                 # (worker) phase — ref: det_bmhrl_agent.py:72-73,118-124
+                 "worker_decoder", "linear", "encoder", "object_detector",
+                 "input_proj", "input_norm")):
             return "worker"
-        if top in ("bm_manager_fus", "manager", "uni_manager_fus"):
+        if top == "manager" or top.startswith(
+                ("bm_manager_fus", "uni_manager_fus")):
             return "manager"
         return "other"
 

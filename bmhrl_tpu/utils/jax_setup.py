@@ -1,0 +1,23 @@
+"""Process-level JAX setup: persistent compilation cache.
+
+The axon TPU platform compiles large jitted graphs (especially while_loop
+decode bodies) very slowly over the tunnel; the persistent cache makes every
+subsequent process start warm. Call ``setup_jax()`` before the first jit.
+"""
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "BMHRL_JAX_CACHE", os.path.expanduser("~/.cache/bmhrl_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache

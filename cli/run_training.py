@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["constant", "reduce_on_plateau"])
     p.add_argument("--pad_audio_feats_up_to", type=int, default=800)
     p.add_argument("--pad_video_feats_up_to", type=int, default=300)
+    # model (ref: runTraining.py:146-168)
+    p.add_argument("--d_model", type=int, default=1024)
+    p.add_argument("--d_model_caps", type=int, default=300)
+    p.add_argument("--d_model_video", type=int, default=None)
+    p.add_argument("--d_model_audio", type=int, default=None)
+    p.add_argument("--use_linear_embedder", action="store_true", default=False)
+    p.add_argument("--dout_p", type=float, default=0.1)
     # evaluation
     p.add_argument("--reference_paths", type=str, nargs="+", default=[
         "./data/val_1_no_missings.json", "./data/val_2_no_missings.json",
@@ -128,6 +135,9 @@ def create_config(argv=None) -> Config:
 
 
 def main(argv=None):
+    from bmhrl_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     args = build_parser().parse_args(argv)
     pprint(vars(args))
     cfg = create_config(argv)
