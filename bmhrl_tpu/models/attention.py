@@ -85,7 +85,14 @@ class MultiheadedAttention(nn.Module):
             # (B, 1, Sk) or (B, Sq, Sk) -> (B, 1, ., Sk): same for all heads
             mask = mask[:, None, :, :]
 
-        out = scaled_dot_attention(q, k, v, mask, causal=causal)
+        from bmhrl_tpu.ops import attention as fused
+
+        is_key_pad_mask = mask is None or mask.shape[2] == 1
+        if (is_key_pad_mask and not causal
+                and fused.flash_qualifies(Sq, Sk, d_k)):
+            out = fused.flash_attention(q, k, v, mask).astype(self.dtype)
+        else:
+            out = scaled_dot_attention(q, k, v, mask, causal=causal)
         out = nn.Dropout(self.dout_p)(out, deterministic=deterministic)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, d_model)

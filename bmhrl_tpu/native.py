@@ -1,0 +1,113 @@
+"""ctypes bindings for the native host-side reward kernels (native/).
+
+``meteor_prefix_rewards`` computes per-prefix METEOR scores in C++ with
+Python-side word/stem interning (stems from NLTK's Porter stemmer, so parity
+with the pure-Python aligner is exact by construction). Auto-builds
+``native/libreward.so`` with make on first use; falls back to None when no
+toolchain is available (callers keep the Python path).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libreward.so")
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.meteor_prefix_rewards.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.meteor_prefix_rewards.restype = None
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class MeteorNative:
+    """Per-prefix METEOR via the C++ aligner (exact + stem stages)."""
+
+    def __init__(self, alpha: float = 0.9, beta: float = 3.0,
+                 gamma: float = 0.5):
+        from nltk.stem.porter import PorterStemmer
+
+        self.alpha, self.beta, self.gamma = alpha, beta, gamma
+        self._stemmer = PorterStemmer()
+        self._stem = lru_cache(maxsize=200_000)(self._stemmer.stem)
+        self.lib = _load()
+        if self.lib is None:
+            raise RuntimeError("native libreward.so unavailable")
+
+    def prefix_rewards(self, hyp_tokens: Sequence[Sequence[str]],
+                       refs: Sequence[Sequence[str]]) -> np.ndarray:
+        """hyp_tokens: B lists of L token strings; refs: B token lists.
+        Returns (B, L) float32 per-prefix METEOR."""
+        B = len(hyp_tokens)
+        L = max(len(h) for h in hyp_tokens)
+        intern = {}
+
+        def wid(w: str) -> int:
+            i = intern.get(w)
+            if i is None:
+                i = len(intern)
+                intern[w] = i
+            return i
+
+        hyp_ids = np.full((B, L), -1, np.int32)
+        hyp_st = np.full((B, L), -2, np.int32)
+        ref_ids_l: List[int] = []
+        ref_st_l: List[int] = []
+        offsets = np.zeros(B + 1, np.int32)
+        for b in range(B):
+            for l, w in enumerate(hyp_tokens[b]):
+                hyp_ids[b, l] = wid(w)
+                hyp_st[b, l] = wid("\x00stem:" + self._stem(w))
+            for w in refs[b]:
+                ref_ids_l.append(wid(w))
+                ref_st_l.append(wid("\x00stem:" + self._stem(w)))
+            offsets[b + 1] = len(ref_ids_l)
+        ref_ids = np.asarray(ref_ids_l, np.int32)
+        ref_st = np.asarray(ref_st_l, np.int32)
+        out = np.zeros((B, L), np.float32)
+
+        c_i32 = ctypes.POINTER(ctypes.c_int32)
+        c_f32 = ctypes.POINTER(ctypes.c_float)
+        self.lib.meteor_prefix_rewards(
+            hyp_ids.ctypes.data_as(c_i32), hyp_st.ctypes.data_as(c_i32),
+            B, L,
+            ref_ids.ctypes.data_as(c_i32), ref_st.ctypes.data_as(c_i32),
+            offsets.ctypes.data_as(c_i32),
+            self.alpha, self.beta, self.gamma,
+            out.ctypes.data_as(c_f32))
+        return out

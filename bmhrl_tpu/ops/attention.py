@@ -1,0 +1,216 @@
+"""Fused (flash-style) attention kernel for TPU via Pallas.
+
+Motivation: the encoder attentions run over up to 300 video / 800 audio
+frames; unfused attention materializes (B, H, S, S) score tensors in HBM
+(e.g. B=32, H=4, S=800 -> ~330 MB per attention per direction), making the
+encoder HBM-bandwidth bound. This kernel streams K/V tiles through VMEM with
+the online-softmax recurrence, so scores never leave the chip.
+
+Numerics match models/attention.scaled_dot_attention exactly: scale by
+1/sqrt(d_k), additive -1e9 where the (B, 1|Sq, Sk) boolean mask is False,
+optional causal tril, f32 accumulation.
+
+Used by MultiheadedAttention when `enable_flash(True)` has been called and
+shapes qualify (Sk >= MIN_SK, d_k aligned); everything else takes the XLA
+path — XLA already fuses well at caption-size sequences.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+MIN_SK = 256  # below this the XLA path is faster (kernel launch overhead)
+
+_FLASH_ENABLED = False
+
+
+def enable_flash(on: bool = True) -> None:
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = on
+
+
+def flash_enabled() -> bool:
+    return _FLASH_ENABLED
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_qualifies(Sq: int, Sk: int, d_k: int) -> bool:
+    return (_FLASH_ENABLED and Sk >= MIN_SK and d_k % 128 == 0
+            and d_k <= 512)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int,
+                  sk: int, scale: float, causal: bool):
+    """One (batch*head, q-tile) program: stream K/V in bk-sized tiles.
+
+    q_ref: (bq, d); k_ref/v_ref: (Sk_pad, d); mask_ref: (1, Sk_pad) int32
+    (1 = attend; already merged with the per-row pad mask by the wrapper
+    when the mask is (Sq, Sk) — see _flash_call).
+    """
+    from jax.experimental import pallas as pl
+
+    bq, d = q_ref.shape
+    qb = pl.program_id(1)
+    q = q_ref[:] * scale  # (bq, d) f32
+
+    m_i = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    num_kb = sk // bk
+
+    def body(kb, carry):
+        m_i, l_i, acc = carry
+        k = k_ref[pl.ds(kb * bk, bk), :]
+        v = v_ref[pl.ds(kb * bk, bk), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bk)
+        mask_tile = mask_ref[:, pl.ds(kb * bk, bk)]  # (1, bk)
+        s = jnp.where(mask_tile > 0, s, NEG_INF)
+        if causal:
+            q_pos = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                     + qb * bq)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m_i, l_i, acc))
+    # fully-masked rows: l == 0 -> uniform-softmax over -1e9 rows in the XLA
+    # path gives mean(V); here exp(s - m)=1 for all masked entries when every
+    # entry is NEG_INF, so l = Sk and acc = sum(V): identical result.
+    o_ref[:] = acc / jnp.maximum(l_i, 1e-30)
+
+
+def _flash_call(q, k, v, mask, causal: bool):
+    """q,k,v: (BH, S, d) f32; mask: (BH, Sk) int32 (key pad mask)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BH, Sq, d = q.shape
+    Sk = k.shape[1]
+    bq = min(128, _ceil_to(Sq, 8))
+    bk = 128
+    Sq_pad = _ceil_to(Sq, bq)
+    Sk_pad = _ceil_to(Sk, bk)
+    q = jnp.pad(q, ((0, 0), (0, Sq_pad - Sq), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, Sk_pad - Sk), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, Sk_pad - Sk), (0, 0)))
+    mask = jnp.pad(mask, ((0, 0), (0, Sk_pad - Sk)))  # pad keys masked out
+
+    scale = 1.0 / float(np.sqrt(d))
+    grid = (BH, Sq_pad // bq)
+
+    kernel = functools.partial(
+        _flash_kernel, bk=bk, sk=Sk_pad, scale=scale, causal=causal)
+
+    def q_index(b, i):
+        return (b, i, 0)
+
+    def kv_index(b, i):
+        return (b, 0, 0)
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, bq, d), q_index),
+            pl.BlockSpec((None, Sk_pad, d), kv_index),
+            pl.BlockSpec((None, Sk_pad, d), kv_index),
+            pl.BlockSpec((None, 1, Sk_pad), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, bq, d), q_index),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq_pad, d), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, mask[:, None, :].astype(jnp.int32))
+    return out[:, :Sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for scaled_dot_attention on (B, H, S, d) inputs with a key
+    pad mask broadcastable to (B, 1, 1, Sk). Returns (B, H, Sq, d) f32.
+
+    Differentiable: the forward is the fused Pallas kernel; the backward
+    recomputes attention with standard XLA ops from (q, k, v, mask)
+    residuals (flash-style recompute — no score tensor is saved)."""
+    return _flash_forward_impl(q, k, v, mask, causal)
+
+
+def _flash_forward_impl(q, k, v, mask, causal):
+    B, H, Sq, d = q.shape
+    Sk = k.shape[2]
+    qf = q.reshape(B * H, Sq, d).astype(jnp.float32)
+    kf = k.reshape(B * H, Sk, d).astype(jnp.float32)
+    vf = v.reshape(B * H, Sk, d).astype(jnp.float32)
+    if mask is None:
+        key_mask = jnp.ones((B, Sk), jnp.int32)
+    else:
+        # (B, 1, 1|Sq, Sk) -> key mask (B, Sk); source masks are per-key
+        key_mask = mask.reshape(B, -1, Sk)[:, -1, :].astype(jnp.int32)
+    key_mask = jnp.repeat(key_mask, H, axis=0)
+    out = _flash_call(qf, kf, vf, key_mask, causal)
+    return out.reshape(B, H, Sq, d)
+
+
+def _xla_attention_probs(q, k, mask, causal):
+    d_k = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+    if causal:
+        Sq, Sk = s.shape[-2], s.shape[-1]
+        tril = jnp.tril(jnp.ones((Sq, Sk), dtype=bool))
+        s = jnp.where(tril[None, None], s, NEG_INF)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    return jax.nn.softmax(s, axis=-1)
+
+
+def _flash_fwd(q, k, v, mask, causal):
+    return _flash_forward_impl(q, k, v, mask, causal), (q, k, v, mask)
+
+
+def _flash_bwd(causal, res, g):
+    q, k, v, mask = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    p = _xla_attention_probs(qf, kf, mask, causal)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, vf,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
+                    preferred_element_type=jnp.float32) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

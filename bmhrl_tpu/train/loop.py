@@ -38,6 +38,9 @@ from bmhrl_tpu.utils.logging import ScalarLogger, log_stderr
 
 def build_model(cfg: Config, voc_size: int):
     """Model select by cfg.mode. ref: train_rl_captioning_module.py:54-61."""
+    from bmhrl_tpu.ops.attention import enable_flash
+
+    enable_flash(cfg.use_pallas_attention)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.mode in ("BMHRL", "BM", "verbose", "eval"):
         return BMHrlAgent(
@@ -189,6 +192,21 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
         for ds in val_datasets:
             results[ds.phase] = eval_model(
                 cfg, sf, state, ds, 0, logger, reference_json_for(cfg, ds.phase))
+        logger.close()
+        return results
+
+    if cfg.mode == "verbose":
+        # diagnostic loss-decomposition pass (ref: analyze_bimodal_div)
+        from bmhrl_tpu.train.analyze import analyze_batch
+
+        results = []
+        for bi, batch in enumerate(train_ds.batches(0)):
+            if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            results.append(analyze_batch(
+                sf, state, scorer, device_batch(batch, mesh),
+                batch["captions"], train_ds.train_vocab.itos, step_rng))
         logger.close()
         return results
 

@@ -366,6 +366,16 @@ class MeteorReward:
         self.gamma_m = gamma_manager
         self.stemmer = PorterStemmer()
         self.wordnet = _get_wordnet()
+        # native C++ aligner: same exact+stem stages as the Python path when
+        # the wordnet corpus is unavailable -> identical scores, much faster
+        self.native = None
+        if isinstance(self.wordnet, _DummyWordnet):
+            try:
+                from bmhrl_tpu.native import MeteorNative
+
+                self.native = MeteorNative()
+            except Exception:
+                self.native = None
 
     def _meteor(self, ref_tokens: List[str], hyp_tokens: List[str]) -> float:
         from nltk.translate.meteor_score import single_meteor_score
@@ -377,6 +387,10 @@ class MeteorReward:
         """Per-prefix METEOR on whitespace-split raw reference strings
         (ref: batched_meteor.py:68-83 — no case folding there)."""
         B, L = pred.shape
+        if self.native is not None:
+            hyps = [[self.itos[i] for i in pred[b]] for b in range(B)]
+            refs = [t.split() for t in trgs]
+            return self.native.prefix_rewards(hyps, refs)
         out = np.zeros((B, L), np.float32)
         for b in range(B):
             ref = trgs[b].split()

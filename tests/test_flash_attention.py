@@ -1,0 +1,91 @@
+"""Pallas flash attention vs XLA reference path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmhrl_tpu.models.attention import scaled_dot_attention
+from bmhrl_tpu.ops import attention as fused
+
+B, H, D = 2, 2, 128
+
+
+@pytest.fixture(autouse=True)
+def flash_on():
+    fused.enable_flash(True)
+    yield
+    fused.enable_flash(False)
+
+
+@pytest.mark.parametrize("Sq,Sk", [(64, 256), (100, 300), (31, 333)])
+def test_flash_matches_xla(Sq, Sk):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, Sq, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, Sk, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, Sk, D), jnp.float32)
+    # key pad mask with ragged lengths
+    lens = [Sk, Sk - 37]
+    mask = np.zeros((B, 1, 1, Sk), bool)
+    for b, L in enumerate(lens):
+        mask[b, :, :, :L] = True
+    mask = jnp.asarray(mask)
+    want = np.asarray(scaled_dot_attention(q, k, v, mask))
+    got = np.asarray(fused.flash_attention(q, k, v, mask))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_no_mask():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 1, 32, D), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 256, D), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, 256, D), jnp.float32)
+    want = np.asarray(scaled_dot_attention(q, k, v, None))
+    got = np.asarray(fused.flash_attention(q, k, v, None))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_qualify_gate():
+    assert not fused.flash_qualifies(31, 100, 128)   # short keys
+    assert not fused.flash_qualifies(31, 512, 100)   # unaligned d_k
+    assert fused.flash_qualifies(31, 512, 256)
+    fused.enable_flash(False)
+    assert not fused.flash_qualifies(31, 512, 256)
+
+
+def test_mha_module_uses_flash_consistently():
+    """MHA output with flash on == flash off (same params, eval mode)."""
+    from bmhrl_tpu.models.attention import MultiheadedAttention
+
+    m = MultiheadedAttention(64, 48, 48, 2, 0.0, 256, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    Q = jnp.asarray(rng.randn(2, 10, 64), jnp.float32)
+    K = jnp.asarray(rng.randn(2, 300, 48), jnp.float32)
+    V = jnp.asarray(rng.randn(2, 300, 48), jnp.float32)
+    mask = jnp.ones((2, 1, 300), bool).at[1, :, 250:].set(False)
+    params = m.init(jax.random.PRNGKey(0), Q, K, V, mask)
+    fused.enable_flash(False)
+    base = np.asarray(m.apply(params, Q, K, V, mask))
+    fused.enable_flash(True)
+    flash = np.asarray(m.apply(params, Q, K, V, mask))
+    np.testing.assert_allclose(flash, base, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gradients_match_xla():
+    """custom VJP: grads through flash == grads through the XLA path."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2, 16, D), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 300, D), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 300, D), jnp.float32)
+    mask = jnp.ones((1, 1, 1, 300), bool).at[0, :, :, 250:].set(False)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fused.flash_attention(q, k, v, mask) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(scaled_dot_attention(q, k, v, mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
