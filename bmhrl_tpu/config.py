@@ -31,6 +31,8 @@ class Config:
     vatex_meta_path: str = "./data/vatex_val.csv"
     msrvtt_meta_path: str = "./data/msrvtt_val.csv"
     val_prop_meta_path: Optional[str] = None
+    train_with_all: bool = False  # concat VATEX training captions
+    vatex_training_json: str = "./data/vatex_training.json"
     modality: str = "audio_video"  # audio | video | audio_video
     video_feature_name: str = "i3d"
     audio_feature_name: str = "vggish"
@@ -130,6 +132,8 @@ class Config:
     prefetch_batches: int = 2
     use_pallas_attention: bool = True
     num_data_workers: int = 8
+    debug_nans: bool = False  # jax_debug_nans (dev-mode anomaly detection)
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     # derived (filled in __post_init__) --------------------------------------
     curr_time: str = dataclasses.field(default="", init=False)

@@ -33,15 +33,22 @@ from bmhrl_tpu.data.vocab import BOS, EOS, PAD, Vocab, build_vocab_from_tsv
 
 
 class MetaRow:
-    __slots__ = ("video_id", "caption", "start", "end", "duration", "tokens")
+    __slots__ = ("video_id", "caption", "start", "end", "duration", "tokens",
+                 "video_dir", "audio_dir", "caption_choices")
 
-    def __init__(self, video_id, caption, start, end, duration, tokens):
+    def __init__(self, video_id, caption, start, end, duration, tokens,
+                 video_dir=None, audio_dir=None, caption_choices=None):
         self.video_id = video_id
         self.caption = caption
         self.start = float(start)
         self.end = float(end)
         self.duration = float(duration)
         self.tokens = tokens
+        # per-row feature-dir overrides (VATEX concat training rows)
+        self.video_dir = video_dir
+        self.audio_dir = audio_dir
+        # multi-caption rows: [(caption, tokens), ...] sampled per epoch
+        self.caption_choices = caption_choices
 
 
 def _read_meta(path: str) -> List[MetaRow]:
@@ -102,6 +109,19 @@ class CaptioningDataset:
         self.trg_voc_size = len(vocab)
         self.pad_idx, self.start_idx, self.end_idx = PAD, BOS, EOS
         self.rows = _read_meta(self.meta_path)
+        # VATEX training concat (ref: captioning_dataset.py:224-227)
+        if (phase == "train" and cfg.train_with_all
+                and os.path.exists(cfg.vatex_training_json)):
+            from bmhrl_tpu.data.vatex import convert_vatex_training
+
+            data_root = os.path.dirname(os.path.abspath(cfg.train_meta_path))
+            vdir = os.path.join(data_root, "i3d_vatex")
+            adir = os.path.join(data_root, "vggish_vatex")
+            for vr in convert_vatex_training(cfg.vatex_training_json):
+                self.rows.append(MetaRow(
+                    vr.feature_id(), vr.captions[0], vr.start, vr.end,
+                    vr.duration, vr.tokens[0], video_dir=vdir, audio_dir=adir,
+                    caption_choices=list(zip(vr.captions, vr.tokens))))
         self.cap_max = cfg.caption_max()
         self._pool = ThreadPoolExecutor(max_workers=cfg.num_data_workers)
 
@@ -123,7 +143,8 @@ class CaptioningDataset:
 
     def _load_row(self, row: MetaRow) -> Dict[str, np.ndarray]:
         return F.load_features_from_npy(
-            self.video_path, self.audio_path, row.video_id,
+            row.video_dir or self.video_path,
+            row.audio_dir or self.audio_path, row.video_id,
             row.start, row.end, row.duration,
             self.cfg.d_vid, self.cfg.d_aud)
 
@@ -166,8 +187,13 @@ class CaptioningDataset:
         drop_last: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
         idxs = np.arange(len(self.rows))
+        rng = np.random.RandomState(self.cfg.seed * 100003 + epoch)
+        # sample one caption per multi-caption (VATEX) row each epoch
+        for row in self.rows:
+            if row.caption_choices:
+                row.caption, row.tokens = row.caption_choices[
+                    rng.randint(len(row.caption_choices))]
         if shuffle:
-            rng = np.random.RandomState(self.cfg.seed * 100003 + epoch)
             rng.shuffle(idxs)
         b = self.batch_size
         n = len(idxs)

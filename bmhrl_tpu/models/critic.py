@@ -139,7 +139,8 @@ class SegmentCritic(nn.Module):
         self.relu2 = AReLU(name="relu2")
         self.lin = nn.Dense(1, dtype=jnp.float32, name="lin")
 
-    def __call__(self, embedded: jnp.ndarray) -> jnp.ndarray:
+    def logits_trainable(self, embedded: jnp.ndarray) -> jnp.ndarray:
+        """Forward WITHOUT the freeze (critic pretraining only)."""
         h = embedded.astype(jnp.float32)
         for layer in self.lstm_layers:
             h = layer(h)
@@ -147,7 +148,10 @@ class SegmentCritic(nn.Module):
         for layer in self.gru_layers:
             h = layer(h)
         h = self.relu2(h)
-        return jax.lax.stop_gradient(self.lin(h))
+        return self.lin(h)
+
+    def __call__(self, embedded: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.stop_gradient(self.logits_trainable(embedded))
 
     # -- incremental stepping (decode path) ---------------------------------
     def init_state(self, B: int) -> Any:

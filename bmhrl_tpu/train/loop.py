@@ -123,8 +123,35 @@ def reference_json_for(cfg: Config, phase: str) -> Optional[str]:
     return path if os.path.exists(path) else None
 
 
+class ReduceLROnPlateau:
+    """factor=0.1, patience=10 LR scheduler on the teacher-forced val loss.
+    ref: train_rl_captioning_module.py:85-90, 196-210."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 10):
+        self.factor = factor
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, val_loss: float) -> float:
+        if val_loss < self.best - 1e-6:
+            self.best = val_loss
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return self.scale
+
+
 def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
     """Full training procedure. ref: train_rl_captioning_module.py:32-251."""
+    if cfg.debug_nans:
+        from bmhrl_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
     rng = jax.random.PRNGKey(cfg.seed)
     mesh = mesh_lib.make_mesh(cfg.mesh_shape)
 
@@ -214,12 +241,25 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
     epochs_unchanged = 0
     is_warmstart = cfg.rl_warmstart_epochs > 0
     train_worker = cfg.rl_train_worker
+    scheduler = (ReduceLROnPlateau() if cfg.scheduler == "reduce_on_plateau"
+                 else None)
+    lr_scale = 1.0
+    from bmhrl_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer()
+    profiling = False
+    if cfg.profile_dir:
+        import jax.profiler as _prof
+
+        _prof.start_trace(cfg.profile_dir)
+        profiling = True
 
     for epoch in range(cfg.epoch_num):
         if epochs_unchanged == cfg.early_stop_after:
             break
         t0 = time.time()
-        lr = cfg.rl_cap_warmstart_lr if is_warmstart else cfg.rl_cap_lr
+        lr = (cfg.rl_cap_warmstart_lr if is_warmstart else cfg.rl_cap_lr)
+        lr = lr * lr_scale
         epoch_loss, n_steps = 0.0, 0
         pending = None  # (batch_dev, rollout, captions, rng) awaiting update
 
@@ -256,27 +296,55 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                 epoch_loss += float(metrics["loss"])
             else:
                 # pipelined RL: rollout this batch, then update the previous
-                roll = sf.rl_rollout(state, bdev, step_rng, train_worker)
-                sampled = np.asarray(roll["sampled"])
-                if train_worker:
-                    score, _ = scorer.delta_worker(sampled, batch["captions"])
-                else:
-                    score, _ = scorer.delta_manager(
-                        sampled, batch["captions"],
-                        np.asarray(roll["loss_mask"]), np.asarray(roll["seg"]))
-                state, metrics = sf.rl_update(
-                    state, bdev, step_rng, lr, jnp.asarray(sampled),
-                    jnp.asarray(score), train_worker)
+                with timer.phase("rollout"):
+                    roll = sf.rl_rollout(state, bdev, step_rng, train_worker)
+                    sampled = np.asarray(roll["sampled"])
+                with timer.phase("host_score"):
+                    if train_worker:
+                        score, _ = scorer.delta_worker(sampled,
+                                                       batch["captions"])
+                    else:
+                        score, _ = scorer.delta_manager(
+                            sampled, batch["captions"],
+                            np.asarray(roll["loss_mask"]),
+                            np.asarray(roll["seg"]))
+                with timer.phase("update"):
+                    state, metrics = sf.rl_update(
+                        state, bdev, step_rng, lr, jnp.asarray(sampled),
+                        jnp.asarray(score), train_worker)
                 epoch_loss += float(metrics["loss"])
             n_steps += 1
 
         logger.add_scalar("debug/train_loss_epoch",
                           epoch_loss / max(n_steps, 1), epoch)
         logger.add_scalar("debug/lr", lr, epoch)
+
+        # LR scheduler on teacher-forced val loss (ref :196-210)
+        if scheduler is not None and val_datasets:
+            val_losses = []
+            for bi, vb in enumerate(val_datasets[0].batches(
+                    epoch, shuffle=False)):
+                if bi >= 8:
+                    break
+                val_losses.append(float(
+                    sf.val_loss_step(state, device_batch(vb, mesh))))
+            if val_losses:
+                lr_scale = scheduler.step(float(np.mean(val_losses)))
+                logger.add_scalar("debug/val_loss",
+                                  float(np.mean(val_losses)), epoch)
         log_stderr(
             f"epoch {epoch} ({'warmstart' if is_warmstart else ('worker' if train_worker else 'manager')}) "
             f"loss={epoch_loss / max(n_steps, 1):.4f} steps={n_steps} "
             f"time={time.time() - t0:.1f}s")
+        if timer.samples:
+            for name, s in timer.summary().items():
+                logger.add_scalar(f"time/{name}_ms", s["mean_ms"], epoch)
+            timer.reset()
+        if profiling:  # trace covers the first epoch only
+            import jax.profiler as _prof
+
+            _prof.stop_trace()
+            profiling = False
 
         # periodic checkpoint before 1-by-1 starts (ref :214-221)
         ckpt_root = cfg.model_checkpoint_path

@@ -76,6 +76,28 @@ def load_torch_critic(path: str) -> Dict[str, Any]:
     return jax.tree.map(np.asarray, out)
 
 
+def export_torch_critic(critic_params: Dict[str, Any], path: str) -> str:
+    """Inverse of load_torch_critic: our flax critic subtree -> a torch
+    state_dict file in the reference SegmentCritic layout (critic.cp)."""
+    import torch
+
+    p = jax.tree.map(np.asarray, critic_params)
+    sd = {}
+    for l in range(4):
+        for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            sd[f"lstm.{k}_l{l}"] = torch.tensor(p[f"lstm_l{l}"][k])
+    for l in range(2):
+        for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            sd[f"gru.{k}_l{l}"] = torch.tensor(p[f"gru_l{l}"][k])
+    sd["lin.weight"] = torch.tensor(p["lin"]["kernel"].T)
+    sd["lin.bias"] = torch.tensor(p["lin"]["bias"])
+    for r in ("relu", "relu2"):
+        sd[f"{r}.alpha"] = torch.tensor(p[r]["alpha"])
+        sd[f"{r}.beta"] = torch.tensor(p[r]["beta"])
+    torch.save(sd, path)
+    return path
+
+
 def install_critic(cap_params, critic_path: str):
     """Overwrite the agent's critic subtree with pretrained torch weights."""
     critic = load_torch_critic(critic_path)

@@ -118,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--train_with_all", action="store_true", default=False,
+                   help="concat VATEX training captions (ref train_with_all)")
+    p.add_argument("--vatex_training_json", type=str,
+                   default="./data/vatex_training.json")
+    p.add_argument("--debug_nans", action="store_true", default=False)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace dir (first epoch)")
+    p.add_argument("--no_pallas_attention", dest="use_pallas_attention",
+                   action="store_false", default=True)
     p.set_defaults(to_log=True)
     return p
 
