@@ -310,7 +310,7 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                             np.asarray(roll["seg"]))
                 with timer.phase("update"):
                     state, metrics = sf.rl_update(
-                        state, bdev, step_rng, lr, jnp.asarray(sampled),
+                        state, bdev, step_rng, lr, roll,
                         jnp.asarray(score), train_worker)
                 epoch_loss += float(metrics["loss"])
             n_steps += 1

@@ -234,7 +234,10 @@ class StepFactory:
     @functools.partial(jax.jit, static_argnames=("self", "train_worker"))
     def rl_rollout(self, state: TrainState, batch, rng,
                    train_worker: bool = True):
-        """Forward + sample; no grads. ref: biased_kl sampling :273-285."""
+        """Forward + sample + value estimate; no grads. Everything rl_update
+        needs from the pre-update policy is computed here once (the update's
+        only forward is the grad pass — reference cost parity: one forward +
+        one backward per step). ref: biased_kl sampling :273-285."""
         V, A, x_idx, y_idx, masks, rngs, r_samp = self._prep(batch, rng)
         pred, wf, mf, goals, seg = jax.lax.stop_gradient(self.model.apply(
             state.cap_params, (V, A), x_idx, masks,
@@ -243,18 +246,29 @@ class StepFactory:
             sampled = jax.random.categorical(r_samp, pred, axis=-1)
         else:
             sampled = jnp.argmax(pred, axis=-1)
+        sampled = sampled.astype(jnp.int32)
+        sampled_probs = jnp.take_along_axis(
+            jnp.exp(pred), sampled[..., None], axis=-1)[..., 0]
+        if train_worker:
+            expected_value = self.wv_model.apply(
+                state.wv_params, (wf, goals))[..., 0]
+        else:
+            expected_value = self.mv_model.apply(state.mv_params, mf)[..., 0]
         return {
-            "sampled": sampled.astype(jnp.int32),
+            "sampled": sampled,
+            "sampled_probs": sampled_probs,
+            "expected_value": jax.lax.stop_gradient(expected_value),
             "seg": seg,
             "loss_mask": (y_idx != PAD),
         }
 
     @functools.partial(
         jax.jit, static_argnames=("self", "train_worker"))
-    def rl_update(self, state: TrainState, batch, rng, lr, sampled, score,
+    def rl_update(self, state: TrainState, batch, rng, lr, roll, score,
                   train_worker: bool = True):
-        """Biased-KL update from the host score. Re-runs the forward with the
-        same rngs as rl_rollout, so logits match the sampling distribution.
+        """Biased-KL update from the host score + the rl_rollout outputs
+        (``roll``). The grad forward re-runs with the same rngs as the
+        rollout, so logits match the sampling distribution exactly.
         ref: train_bimodal_bl (:797-890) + biased_kl (:271-334)."""
         cfg = self.cfg
         V, A, x_idx, y_idx, masks, rngs, _ = self._prep(batch, rng)
@@ -267,18 +281,14 @@ class StepFactory:
                 cap_params, (V, A), x_idx, masks,
                 exploration=not train_worker, deterministic=False, rngs=rngs)
 
-        pred0, wf0, mf0, goals0, seg0 = jax.lax.stop_gradient(
-            forward(state.cap_params))
-        pred_probs0 = jnp.exp(pred0)
-        sampled_probs = jnp.take_along_axis(
-            pred_probs0, sampled[..., None], axis=-1)[..., 0]
+        sampled = roll["sampled"]
+        sampled_probs = roll["sampled_probs"]
+        expected_value = roll["expected_value"]
+        seg0 = roll["seg"]
 
         if train_worker:
-            expected_value = self.wv_model.apply(
-                state.wv_params, (wf0, goals0))[..., 0]
             norm_factor = loss_mask.sum(-1, keepdims=True).astype(jnp.float32)
         else:
-            expected_value = self.mv_model.apply(state.mv_params, mf0)[..., 0]
             norm_factor = seg0.sum(-1, keepdims=True).astype(jnp.float32)
             # ref :299-317 vectorized: per-segment prob products and
             # expected-score segment sums

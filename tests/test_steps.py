@@ -53,7 +53,7 @@ def run_rl_step(sf, scorer, state, batch, rng, train_worker):
         score, _ = scorer.delta_manager(
             sampled, CAPTIONS, np.asarray(roll["loss_mask"]),
             np.asarray(roll["seg"]))
-    return sf.rl_update(state, batch, rng, 1e-4, jnp.asarray(sampled),
+    return sf.rl_update(state, batch, rng, 1e-4, roll,
                         jnp.asarray(score), train_worker)
 
 

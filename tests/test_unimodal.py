@@ -52,7 +52,7 @@ def test_unimodal_forward_and_step(family):
     scorer = CiderReward(itos, [["w0", "w1"]] * 3, 0.0, 0.0)
     score, _ = scorer.delta_worker(np.asarray(roll["sampled"]), ["w0 w1", "w1 w2"])
     state, m2 = sf.rl_update(state, bdev, jax.random.PRNGKey(1), 1e-4,
-                             roll["sampled"], jnp.asarray(score), True)
+                             roll, jnp.asarray(score), True)
     assert np.isfinite(float(m2["loss"]))
 
 
