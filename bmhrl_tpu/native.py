@@ -45,6 +45,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.meteor_prefix_rewards.restype = None
+        lib.cider_new.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32]
+        lib.cider_new.restype = ctypes.c_void_p
+        lib.cider_free.argtypes = [ctypes.c_void_p]
+        lib.cider_free.restype = None
+        lib.cider_prefix_rewards.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint16,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
+        lib.cider_prefix_rewards.restype = None
         _lib = lib
     except OSError:
         _lib = None
@@ -110,4 +122,74 @@ class MeteorNative:
             offsets.ctypes.data_as(c_i32),
             self.alpha, self.beta, self.gamma,
             out.ctypes.data_as(c_f32))
+        return out
+
+
+class CiderNative:
+    """Per-prefix CIDEr via the C++ kernel; word ids are the vocab indices
+    (hypothesis side) plus on-the-fly interning for ref/corpus OOV words.
+    Falls back is the caller's job when ids exceed uint16 range."""
+
+    MAX_ID = 65000
+
+    def __init__(self, itos: Sequence[str],
+                 corpus_token_lists: Sequence[Sequence[str]],
+                 n: int = 4, sigma: float = 6.0, eos_token: str = "</s>"):
+        self.lib = _load()
+        if self.lib is None:
+            raise RuntimeError("native libreward.so unavailable")
+        self.sigma = sigma
+        self.intern = {w: i for i, w in enumerate(itos)}
+        if len(self.intern) >= self.MAX_ID:
+            raise RuntimeError("vocab too large for uint16 interning")
+        self.eos_id = self.intern[eos_token]
+        flat: List[int] = []
+        offsets = [0]
+        for cap in corpus_token_lists or []:
+            flat.extend(self._wid(w) for w in cap)
+            offsets.append(len(flat))
+        corpus = np.asarray(flat, np.uint16)
+        offs = np.asarray(offsets, np.int64)
+        self._handle = self.lib.cider_new(
+            corpus.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offsets) - 1, n)
+
+    def _wid(self, w: str) -> int:
+        i = self.intern.get(w)
+        if i is None:
+            i = len(self.intern)
+            if i >= self.MAX_ID:
+                raise RuntimeError("intern table overflow")
+            self.intern[w] = i
+        return i
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self.lib.cider_free(self._handle)
+        except Exception:
+            pass
+
+    def raw_rewards(self, pred_ids: np.ndarray,
+                    ref_token_lists: Sequence[Sequence[str]]) -> np.ndarray:
+        """pred_ids: (B, L) vocab ids; refs: B lowercased token lists."""
+        B, L = pred_ids.shape
+        hyp = np.ascontiguousarray(pred_ids, np.uint16)
+        flat: List[int] = []
+        offsets = [0]
+        for ref in ref_token_lists:
+            flat.extend(self._wid(w) for w in ref)
+            offsets.append(len(flat))
+        refs = np.asarray(flat, np.uint16)
+        offs = np.asarray(offsets, np.int64)
+        out = np.zeros((B, L), np.float32)
+        self.lib.cider_prefix_rewards(
+            self._handle,
+            hyp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            B, L, self.eos_id,
+            refs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.sigma,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out

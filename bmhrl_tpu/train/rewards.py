@@ -179,6 +179,15 @@ class CiderReward:
         self.gamma_m = gamma_manager
         self.n = n
         self.sigma = sigma
+        # C++ fast path (same math; host scoring sits on the on-policy RL
+        # critical path, so its latency adds to every train step)
+        self.native = None
+        try:
+            from bmhrl_tpu.native import CiderNative
+
+            self.native = CiderNative(itos, corpus_token_lists, n, sigma)
+        except Exception:
+            self.native = None
 
     def _prefix_rewards_row(self, pred_row: np.ndarray, trg: str) -> List[float]:
         hypo = [self.itos[i] for i in pred_row]
@@ -197,6 +206,12 @@ class CiderReward:
         """(B, L) per-prefix CIDEr, trailing positions padded with the last
         value (ref: cider.py:53-58)."""
         B, L = pred.shape
+        if self.native is not None:
+            try:
+                refs = [t.lower().split() for t in trgs]
+                return self.native.raw_rewards(np.asarray(pred), refs)
+            except RuntimeError:  # intern overflow etc. -> python path
+                self.native = None
         out = np.zeros((B, L), np.float32)
         for b in range(B):
             s = self._prefix_rewards_row(pred[b], trgs[b])

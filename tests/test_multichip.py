@@ -1,0 +1,55 @@
+"""Driver-contract tests: entry() shape check and dryrun_multichip on the
+virtual 8-device CPU mesh; orbax TrainState roundtrip."""
+import jax
+import numpy as np
+import pytest
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    g.dryrun_multichip(8)  # raises on failure
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    out = np.asarray(out)
+    assert out.ndim == 3 and np.isfinite(out).all()
+
+
+def test_orbax_trainstate_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from bmhrl_tpu.config import Config
+    from bmhrl_tpu.models.bmhrl import (
+        BMHrlAgent, BMManagerValueFunction, BMWorkerValueFunction)
+    from bmhrl_tpu.train.steps import StepFactory
+    from bmhrl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = Config(B=2, mesh_shape=(1, 1), to_log=False)
+    model = BMHrlAgent(
+        voc_size=20, d_video=8, d_audio=8, d_model=8, d_model_caps=8,
+        att_heads=2, att_layers=1, d_ff_v=8, d_ff_a=8, d_ff_c=8, d_goal=8,
+        dtype=jnp.float32)
+    sf = StepFactory(cfg, model, BMWorkerValueFunction(8),
+                     BMManagerValueFunction(8), emb_trainable=True)
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb": rng.rand(2, 4, 8).astype(np.float32),
+        "flow": rng.rand(2, 4, 8).astype(np.float32),
+        "audio": rng.rand(2, 5, 8).astype(np.float32),
+        "caption_idx": np.asarray([[2, 5, 3, 1], [2, 6, 3, 1]], np.int32),
+    }
+    state = sf.init_state(jax.random.PRNGKey(0), batch)
+    save_checkpoint(str(tmp_path), state)
+    abstract = jax.tree.map(np.asarray, state)
+    restored = load_checkpoint(str(tmp_path), abstract)
+    a = jax.tree.leaves(state)
+    b = jax.tree.leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

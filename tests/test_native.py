@@ -65,3 +65,43 @@ def test_native_speed(nat):
     per_batch = (time.time() - t0) / 10
     # B=16 x L=30 prefixes in well under 10 ms
     assert per_batch < 0.05, per_batch
+
+
+def test_cider_native_matches_python():
+    """C++ CIDEr vs the Python incremental scorer on identical inputs."""
+    from bmhrl_tpu.train.rewards import CiderReward
+
+    itos = ["<unk>", "<blank>", "<s>", "</s>"] + [f"w{i}" for i in range(30)]
+    rng = np.random.RandomState(0)
+    corpus = [[f"w{i}" for i in rng.randint(0, 30, 8)] for _ in range(50)]
+    sc = CiderReward(itos, corpus, 0.0, 0.0)
+    if sc.native is None:
+        pytest.skip("native cider unavailable")
+    pred = rng.randint(0, 34, (4, 12)).astype(np.int64)
+    pred[1, 5] = 3  # eos mid-sequence
+    pred[2, 0] = 3  # immediate eos -> -0.1
+    trgs = [" ".join(f"w{i}" for i in rng.randint(0, 30, 6)) for _ in range(4)]
+    got = sc.raw_rewards(pred, trgs)
+    sc.native = None
+    want = sc.raw_rewards(pred, trgs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_cider_native_speed():
+    from bmhrl_tpu.train.rewards import CiderReward
+
+    itos = ["<unk>", "<blank>", "<s>", "</s>"] + [f"w{i}" for i in range(5000)]
+    rng = np.random.RandomState(1)
+    corpus = [[f"w{i}" for i in rng.randint(0, 5000, 12)] for _ in range(5000)]
+    sc = CiderReward(itos, corpus, 0.0, 0.0)
+    if sc.native is None:
+        pytest.skip("native cider unavailable")
+    pred = rng.randint(4, 5004, (16, 31)).astype(np.int64)
+    trgs = [" ".join(f"w{i}" for i in rng.randint(0, 5000, 14))
+            for _ in range(16)]
+    sc.raw_rewards(pred, trgs)
+    t0 = time.time()
+    for _ in range(10):
+        sc.raw_rewards(pred, trgs)
+    per_batch = (time.time() - t0) / 10
+    assert per_batch < 0.02, per_batch  # well under the 50ms python cost
