@@ -62,7 +62,7 @@ def main():
 
     run_ours()  # compile
     t0 = time.time()
-    iters = 5
+    iters = 10
     for _ in range(iters):
         run_ours()
     ours_sec = (time.time() - t0) / iters
@@ -87,7 +87,7 @@ def main():
 
     run_reference_style()  # compile
     t0 = time.time()
-    ref_iters = 2
+    ref_iters = 3
     for _ in range(ref_iters):
         run_reference_style()
     ref_sec = (time.time() - t0) / ref_iters

@@ -10,12 +10,14 @@ Parity target: model/multihead_attention.py in the reference —
 - the output is re-projected to the query dim ``d_model_Q`` (ref :89).
 
 TPU notes: QK^T and PV run in bf16 on the MXU with f32 accumulation; the
-softmax is f32. A fused Pallas kernel (ops/attention.py) can replace the
-XLA path for long sources; both produce identical math.
+softmax is f32. A fused Pallas kernel (ops/attention.py) replaces the XLA
+path for long sources. ``project_kv`` exposes the K/V projections so the
+autoregressive decoder can compute cross-attention keys/values from the
+static A/V memories ONCE per clip instead of every generated token.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -57,29 +59,48 @@ class MultiheadedAttention(nn.Module):
     d_model: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        d_model = self.d_model if self.d_model is not None else self.d_model_Q
+        assert d_model % self.H == 0
+        self._d = d_model
+        self._d_k = d_model // self.H
+        self.linear_Q2d = nn.Dense(d_model, dtype=self.dtype,
+                                   name="linear_Q2d")
+        self.linear_K2d = nn.Dense(d_model, dtype=self.dtype,
+                                   name="linear_K2d")
+        self.linear_V2d = nn.Dense(d_model, dtype=self.dtype,
+                                   name="linear_V2d")
+        self.linear_d2Q = nn.Dense(self.d_model_Q, dtype=self.dtype,
+                                   name="linear_d2Q")
+        self.dropout = nn.Dropout(self.dout_p)
+
+    def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, S, _ = x.shape
+        return x.reshape(B, S, self.H, self._d_k).transpose(0, 2, 1, 3)
+
+    def project_kv(self, K: jnp.ndarray, V: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Headed key/value projections (B, H, Sk, d_k) for reuse across
+        decode steps (the memories are static per clip)."""
+        return self._heads(self.linear_K2d(K)), self._heads(self.linear_V2d(V))
+
     def __call__(
         self,
         Q: jnp.ndarray,
-        K: jnp.ndarray,
-        V: jnp.ndarray,
+        K: Optional[jnp.ndarray],
+        V: Optional[jnp.ndarray],
         mask: Optional[jnp.ndarray],
         causal: bool = False,
         deterministic: bool = True,
+        precomputed_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
-        d_model = self.d_model if self.d_model is not None else self.d_model_Q
-        assert d_model % self.H == 0
-        d_k = d_model // self.H
         B, Sq, _ = Q.shape
-        Sk = K.shape[1]
-
-        q = nn.Dense(d_model, dtype=self.dtype, name="linear_Q2d")(Q)
-        k = nn.Dense(d_model, dtype=self.dtype, name="linear_K2d")(K)
-        v = nn.Dense(d_model, dtype=self.dtype, name="linear_V2d")(V)
-
-        q = q.reshape(B, Sq, self.H, d_k).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Sk, self.H, d_k).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Sk, self.H, d_k).transpose(0, 2, 1, 3)
+        q = self._heads(self.linear_Q2d(Q))
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            k, v = self.project_kv(K, V)
+        Sk = k.shape[2]
 
         if mask is not None:
             # (B, 1, Sk) or (B, Sq, Sk) -> (B, 1, ., Sk): same for all heads
@@ -89,11 +110,11 @@ class MultiheadedAttention(nn.Module):
 
         is_key_pad_mask = mask is None or mask.shape[2] == 1
         if (is_key_pad_mask and not causal
-                and fused.flash_qualifies(Sq, Sk, d_k)):
+                and fused.flash_qualifies(Sq, Sk, self._d_k)):
             out = fused.flash_attention(q, k, v, mask).astype(self.dtype)
         else:
             out = scaled_dot_attention(q, k, v, mask, causal=causal)
-        out = nn.Dropout(self.dout_p)(out, deterministic=deterministic)
+        out = self.dropout(out, deterministic=deterministic)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, Sq, d_model)
-        return nn.Dense(self.d_model_Q, dtype=self.dtype, name="linear_d2Q")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Sq, self._d)
+        return self.linear_d2Q(out)

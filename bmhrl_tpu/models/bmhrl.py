@@ -107,7 +107,11 @@ class BMFusionLayer(nn.Module):
     """Caption decoder layer: causal self-attention, separate cross-attention
     into audio and video memories, per-branch LayerNorm, then a learned
     sigmoid-gated A/V blend. The reference constructs (but never applies) a
-    feed-forward here; we omit it. ref: bm_hrl_agent.py:54-117."""
+    feed-forward here; we omit it. ref: bm_hrl_agent.py:54-117.
+
+    ``cross_kv`` (dict with "A"/"V" (k, v) pairs from ``precompute_kv``)
+    skips the per-step K/V projections of the static memories during
+    autoregressive decoding."""
 
     d_model_A: int
     d_model_V: int
@@ -118,34 +122,52 @@ class BMFusionLayer(nn.Module):
     H: int
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, masks, deterministic: bool = True):
-        C, memory = x
-        Av, Va = memory
+    def setup(self):
         att = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
-        self_att = MultiheadedAttention(
+        self.self_att = MultiheadedAttention(
             self.d_model_C, self.d_model_C, self.d_model_C, self.H, **att,
             name="self_att")
-        enc_att_A = MultiheadedAttention(
+        self.enc_att_A = MultiheadedAttention(
             self.d_model_C, self.d_model_A, self.d_model_A, self.H, **att,
             name="enc_att_A")
-        enc_att_V = MultiheadedAttention(
+        self.enc_att_V = MultiheadedAttention(
             self.d_model_C, self.d_model_V, self.d_model_V, self.H, **att,
             name="enc_att_V")
-        res_self = ResidualConnection(self.d_model_C, self.dout_p, name="res_self_att")
-        res_A = ResidualConnection(self.d_model_C, self.dout_p, name="res_enc_att_A")
-        res_V = ResidualConnection(self.d_model_C, self.dout_p, name="res_enc_att_V")
-
-        det = deterministic
-        C = res_self(C, lambda h: self_att(h, h, h, masks["C_mask"], deterministic=det), det)
-        Ca = res_A(C, lambda h: enc_att_A(h, Av, Av, masks["A_mask"], deterministic=det), det)
-        Cv = res_V(C, lambda h: enc_att_V(h, Va, Va, masks["V_mask"], deterministic=det), det)
-        Ca = nn.LayerNorm(name="normCA")(Ca.astype(jnp.float32))
-        Cv = nn.LayerNorm(name="normCV")(Cv.astype(jnp.float32))
-
-        a_v_constant = self.param(
+        self.res_self = ResidualConnection(self.d_model_C, self.dout_p,
+                                           name="res_self_att")
+        self.res_A = ResidualConnection(self.d_model_C, self.dout_p,
+                                        name="res_enc_att_A")
+        self.res_V = ResidualConnection(self.d_model_C, self.dout_p,
+                                        name="res_enc_att_V")
+        self.normCA = nn.LayerNorm(name="normCA")
+        self.normCV = nn.LayerNorm(name="normCV")
+        self.a_v_constant = self.param(
             "a_v_constant", lambda k: jnp.zeros((1,), jnp.float32))
-        av_factor = nn.sigmoid(jnp.clip(a_v_constant, -2.0, 2.0))
+
+    def precompute_kv(self, Av, Va):
+        return {"A": self.enc_att_A.project_kv(Av, Av),
+                "V": self.enc_att_V.project_kv(Va, Va)}
+
+    def __call__(self, x, masks, deterministic: bool = True, cross_kv=None):
+        C, memory = x
+        Av, Va = memory
+        det = deterministic
+        kv_A = cross_kv["A"] if cross_kv is not None else None
+        kv_V = cross_kv["V"] if cross_kv is not None else None
+        C = self.res_self(
+            C, lambda h: self.self_att(h, h, h, masks["C_mask"],
+                                       deterministic=det), det)
+        Ca = self.res_A(
+            C, lambda h: self.enc_att_A(h, Av, Av, masks["A_mask"],
+                                        deterministic=det,
+                                        precomputed_kv=kv_A), det)
+        Cv = self.res_V(
+            C, lambda h: self.enc_att_V(h, Va, Va, masks["V_mask"],
+                                        deterministic=det,
+                                        precomputed_kv=kv_V), det)
+        Ca = self.normCA(Ca.astype(jnp.float32))
+        Cv = self.normCV(Cv.astype(jnp.float32))
+        av_factor = nn.sigmoid(jnp.clip(self.a_v_constant, -2.0, 2.0))
         fused = av_factor * Cv + (1.0 - av_factor) * Ca
         return fused.astype(self.dtype), memory
 
@@ -163,15 +185,22 @@ class BMFusion(nn.Module):
     N: int
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, masks, deterministic: bool = True):
-        C, memory = x
-        for i in range(self.N):
-            C, memory = BMFusionLayer(
+    def setup(self):
+        self.layers = [
+            BMFusionLayer(
                 self.d_model_A, self.d_model_V, self.d_model_C, self.d_model,
                 self.d_ff_c, self.dout_p, self.H, dtype=self.dtype,
-                name=f"layer_{i}",
-            )((C, memory), masks, deterministic)
+                name=f"layer_{i}")
+            for i in range(self.N)]
+
+    def precompute_kv(self, Av, Va):
+        return [layer.precompute_kv(Av, Va) for layer in self.layers]
+
+    def __call__(self, x, masks, deterministic: bool = True, cross_kv=None):
+        C, memory = x
+        for i, layer in enumerate(self.layers):
+            kv = cross_kv[i] if cross_kv is not None else None
+            C, memory = layer((C, memory), masks, deterministic, cross_kv=kv)
         return C
 
 
@@ -334,18 +363,30 @@ class BMHrlAgent(nn.Module):
         score, state = self.critic.step(emb_t, state)
         return score[:, 0], state
 
+    def precompute_fusion_kv(self, Va, Av):
+        """Cross-attention K/V of the static A/V memories for every fusion
+        layer — computed once per clip by the decode loop."""
+        return {"worker": self.bm_worker_fus.precompute_kv(Av, Va),
+                "manager": self.bm_manager_fus.precompute_kv(Av, Va)}
+
     def decode_with_labels(
         self, trg, segment_labels, Va, Av, masks,
         exploration: bool = False, deterministic: bool = True,
+        fusion_kv=None,
     ):
         """Caption-side forward with externally supplied critic segment
         labels (maintained incrementally by the decode loop via
-        ``critic_step``). Removes the critic's full-sequence RNN rescan from
-        every decode iteration."""
+        ``critic_step``) and optionally precomputed cross-attention K/V.
+        Removes the critic's full-sequence RNN rescan AND the memory K/V
+        projections from every decode iteration."""
         C_emb = self.emb_C(trg)
         C = self.pos_enc_C(C_emb, deterministic).astype(self.dtype)
-        worker_feat = self.bm_worker_fus((C, (Av, Va)), masks, deterministic)
-        manager_feat = self.bm_manager_fus((C, (Av, Va)), masks, deterministic)
+        wkv = fusion_kv["worker"] if fusion_kv is not None else None
+        mkv = fusion_kv["manager"] if fusion_kv is not None else None
+        worker_feat = self.bm_worker_fus((C, (Av, Va)), masks, deterministic,
+                                         cross_kv=wkv)
+        manager_feat = self.bm_manager_fus((C, (Av, Va)), masks, deterministic,
+                                           cross_kv=mkv)
         goals = self.manager(
             manager_feat, segment_labels, exploration, deterministic)
         pred = self.worker(worker_feat, goals, masks["C_mask"], deterministic)

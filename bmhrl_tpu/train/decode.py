@@ -51,6 +51,13 @@ def _decode_loop(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     thresh = model.critic_score_threshold
+    # cross-attention K/V of the static memories: once per clip, not per
+    # token (the dominant per-step matmuls otherwise)
+    if hasattr(type(model), "precompute_fusion_kv"):
+        fusion_kv = model.apply(params, Va, Av, method="precompute_fusion_kv")
+        extra = {"fusion_kv": fusion_kv}
+    else:
+        extra = {}
 
     def cond(carry):
         t = carry[0]
@@ -69,7 +76,7 @@ def _decode_loop(
         masks["C_mask"] = c_mask(trg, pad_idx)
         preds = model.apply(
             params, trg, labels, Va, Av, masks, exploration=exploration,
-            method="decode_with_labels",
+            method="decode_with_labels", **extra,
             rngs={"noise": jax.random.fold_in(rng, 2 * t + 1)},
         )[0]
         logits_t = preds[jnp.arange(B), t]  # (B, V) log-probs at position t
