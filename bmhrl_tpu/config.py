@@ -132,6 +132,7 @@ class Config:
     prefetch_batches: int = 2
     use_pallas_attention: bool = True
     num_data_workers: int = 8
+    eval_max_batches: Optional[int] = None  # cap 1-by-1 eval batches (smoke runs)
     debug_nans: bool = False  # jax_debug_nans (dev-mode anomaly detection)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 from typing import Dict, List, Optional
 
@@ -74,6 +73,8 @@ def device_batch(batch: Dict, mesh) -> Dict:
 def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
                dataset: CaptioningDataset, epoch: int, logger: ScalarLogger,
                reference_path: str, max_batches: Optional[int] = None) -> Dict:
+    if max_batches is None:
+        max_batches = cfg.eval_max_batches
     """Greedy-decode a val split, dump the ANet submission JSON, score it.
     ref: validation_loops.py:13-137 + eval_model (:258-278)."""
     model = sf.model
@@ -261,7 +262,6 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
         lr = (cfg.rl_cap_warmstart_lr if is_warmstart else cfg.rl_cap_lr)
         lr = lr * lr_scale
         epoch_loss, n_steps = 0.0, 0
-        pending = None  # (batch_dev, rollout, captions, rng) awaiting update
 
         for batch in Prefetcher(train_ds.batches(epoch), cfg.prefetch_batches):
             if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:

@@ -118,6 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--eval_max_batches", type=int, default=None)
     p.add_argument("--train_with_all", action="store_true", default=False,
                    help="concat VATEX training captions (ref train_with_all)")
     p.add_argument("--vatex_training_json", type=str,
