@@ -126,6 +126,13 @@ def _flash_call(q, k, v, mask, causal: bool):
         return (b, 0, 0)
 
     interpret = jax.default_backend() != "tpu"
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # (batch*head, q-tile) programs are independent -> megacore parallel
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -138,6 +145,7 @@ def _flash_call(q, k, v, mask, causal: bool):
         out_specs=pl.BlockSpec((None, bq, d), q_index),
         out_shape=jax.ShapeDtypeStruct((BH, Sq_pad, d), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(q, k, v, mask[:, None, :].astype(jnp.int32))
     return out[:, :Sq]
 

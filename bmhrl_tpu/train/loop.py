@@ -313,6 +313,14 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                         state, bdev, step_rng, lr, roll,
                         jnp.asarray(score), train_worker)
                 epoch_loss += float(metrics["loss"])
+                if n_steps % 100 == 0:
+                    # periodic sample log (ref: log_iteration,
+                    # captioning_bmrl_loops.py:459-469, every 100 iters)
+                    itos = train_ds.train_vocab.itos
+                    hyp = " ".join(itos[i] for i in sampled[0])
+                    log_stderr(f"Pred[0]: {hyp}")
+                    log_stderr(f"Trg[0]: {batch['captions'][0]}")
+                    log_stderr(f"Score[0] sum: {float(np.sum(score[0])):.3f}")
             n_steps += 1
 
         logger.add_scalar("debug/train_loss_epoch",
