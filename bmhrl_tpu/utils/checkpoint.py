@@ -217,8 +217,14 @@ def import_torch_bmhrl(path: str, n_layers: int = 2) -> Dict[str, Any]:
     return jax.tree.map(np.asarray, p)
 
 
-def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2):
-    """Inverse of import_torch_bmhrl (checkpoint export for reference users)."""
+def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2,
+                       d_ff_c: int = 2048):
+    """Inverse of import_torch_bmhrl (checkpoint export for reference users).
+
+    Also emits the reference's dead parameters (the BMFusionLayer
+    feed_forward that its forward never applies, bm_hrl_agent.py:66,73-117,
+    and Manager.core's unused LinearCore, :404-406,438) as zero tensors so
+    a strict ``load_state_dict`` on the reference model succeeds."""
     import torch
 
     p = jax.tree.map(np.asarray, params.get("params", params))
@@ -226,6 +232,9 @@ def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2):
 
     def put(key, arr):
         sd[key] = torch.tensor(np.asarray(arr))
+
+    def put_zeros(key, shape):
+        sd[key] = torch.zeros(*shape)
 
     def dense(prefix, t):
         put(f"{prefix}.weight", t["kernel"].T)
@@ -262,6 +271,8 @@ def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2):
         for j in range(3):
             ln(f"{pref}.res_layers_M1.{j}.norm", layer[f"res_M1_{j}"]["norm"])
             ln(f"{pref}.res_layers_M2.{j}.norm", layer[f"res_M2_{j}"]["norm"])
+    d_caps = p["manager"]["linear"]["kernel"].shape[0]
+    d_goal = p["manager"]["linear"]["kernel"].shape[1]
     for name in ["bm_worker_fus", "bm_manager_fus"]:
         for i in range(n_layers):
             layer = p[name][f"layer_{i}"]
@@ -275,7 +286,15 @@ def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2):
             ln(f"{pref}.normCA", layer["normCA"])
             ln(f"{pref}.normCV", layer["normCV"])
             put(f"{pref}.a_v_constant", layer["a_v_constant"])
+            # dead feed_forward the reference constructs but never applies
+            put_zeros(f"{pref}.feed_forward.fc1.weight", (d_ff_c, d_caps))
+            put_zeros(f"{pref}.feed_forward.fc1.bias", (d_ff_c,))
+            put_zeros(f"{pref}.feed_forward.fc2.weight", (d_caps, d_ff_c))
+            put_zeros(f"{pref}.feed_forward.fc2.bias", (d_caps,))
     dense("manager.linear", p["manager"]["linear"])
+    # Manager's unused LinearCore (ref :404-406; forward uses .linear)
+    put_zeros("manager.core.linear.weight", (d_goal, d_caps))
+    put_zeros("manager.core.linear.bias", (d_goal,))
     mha("worker.goal_attention", p["worker"]["goal_attention"])
     dense("worker.core.projection", p["worker"]["projection"])
 

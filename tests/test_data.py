@@ -103,3 +103,17 @@ def test_dataset_batches(tmp_path, monkeypatch):
     # deterministic shuffle
     b2 = next(iter(ds.batches(epoch=0)))
     assert b2["video_ids"] == b["video_ids"]
+
+
+def test_glove_loading(tmp_path):
+    from bmhrl_tpu.data.vocab import Vocab
+
+    v = Vocab.build([["alpha", "beta", "alpha"]])
+    glove = tmp_path / "glove.txt"
+    glove.write_text(
+        "alpha " + " ".join(["0.5"] * 4) + "\n"
+        "gamma " + " ".join(["0.1"] * 4) + "\n")
+    vecs = v.load_glove(str(glove), dim=4)
+    assert vecs.shape == (len(v.itos), 4)
+    np.testing.assert_allclose(vecs[v.stoi["alpha"]], 0.5)
+    np.testing.assert_allclose(vecs[v.stoi["beta"]], 0.0)  # OOV -> zeros
