@@ -17,7 +17,7 @@ Two parameter presets:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 # METEOR 1.5 English function-word list (common closed-class words)
 FUNCTION_WORDS = {

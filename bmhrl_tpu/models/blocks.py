@@ -6,7 +6,7 @@ so the MXU runs at full rate; softmax/logits stay float32.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np

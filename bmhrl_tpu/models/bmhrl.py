@@ -4,13 +4,13 @@ manager/worker heads, plus the two value-function baselines.
 Parity target: model/bm_hrl_agent.py in the reference. Functional flax design:
 - no mutable mode flags; ``exploration`` and ``deterministic`` are call args;
 - grad gating (teach_worker/teach_manager/warmstart, ref :555-589) is an
-  optimizer param-mask, not requires_grad flips (see train/train_state.py);
+  optimizer param-mask, not requires_grad flips (see train/steps.py);
 - Manager.expand_goals is the vectorized ops.segments.expand_goals instead of
   a host loop (ref :415-429).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

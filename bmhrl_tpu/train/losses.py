@@ -7,8 +7,6 @@ epoch loops.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import xlogy

@@ -10,8 +10,6 @@ captioner and the worker value net (ref :1080-1083).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

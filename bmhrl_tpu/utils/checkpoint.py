@@ -12,7 +12,7 @@ orbax for the native format, plus converters for the reference's ``.pt`` /
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
