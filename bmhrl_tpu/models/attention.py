@@ -84,6 +84,39 @@ class MultiheadedAttention(nn.Module):
         decode steps (the memories are static per clip)."""
         return self._heads(self.linear_K2d(K)), self._heads(self.linear_V2d(V))
 
+    def attend_step(self, q_in, kv_in, k_cache, v_cache, t,
+                    deterministic: bool = True):
+        """Single-position causal attention with a KV cache.
+
+        q_in: (B, 1, Dq); kv_in: (B, 1, Dk) — projected and written into
+        cache slot ``t``; attention runs over cache positions <= t.
+        Returns (out (B, 1, Dq), k_cache, v_cache)."""
+        import jax
+
+        q = self._heads(self.linear_Q2d(q_in))  # (B, H, 1, d_k)
+        k_t, v_t = self.project_kv(kv_in, kv_in)  # (B, H, 1, d_k)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_t.astype(k_cache.dtype), t, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_t.astype(v_cache.dtype), t, axis=2)
+        L = k_cache.shape[2]
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_cache,
+            preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(self._d_k, jnp.float32))
+        pos = jnp.arange(L)[None, None, None, :]
+        scores = jnp.where(pos <= t, scores, NEG_INF)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype),
+                         v_cache, preferred_element_type=jnp.float32)
+        out = self.dropout(out, deterministic=deterministic)
+        B = q_in.shape[0]
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, self._d)
+        return self.linear_d2Q(out), k_cache, v_cache
+
+    def kv_cache_shape(self, B: int, L: int):
+        return (B, self.H, L, self._d_k)
+
     def __call__(
         self,
         Q: jnp.ndarray,

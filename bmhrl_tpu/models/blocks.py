@@ -92,23 +92,32 @@ class ResidualConnection(nn.Module):
     """Prenorm residual: x + dropout(sublayer(LN(x))). ref: model/blocks.py:128-144.
 
     The sublayer is passed at call time so one module owns the LayerNorm+dropout
-    params, mirroring the reference structure.
+    params, mirroring the reference structure. ``pre``/``post`` expose the two
+    halves for the incremental decoder, which must thread KV caches through
+    the sublayer.
     """
 
     size: int
     dout_p: float
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.LayerNorm(name="norm")
+        self.drop = nn.Dropout(self.dout_p)
+
+    def pre(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.norm(x.astype(jnp.float32))
+
+    def post(self, x: jnp.ndarray, res: jnp.ndarray,
+             deterministic: bool = True) -> jnp.ndarray:
+        return x + self.drop(res, deterministic=deterministic)
+
     def __call__(
         self,
         x: jnp.ndarray,
         sublayer: Callable[[jnp.ndarray], jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        res = nn.LayerNorm(name="norm")(x.astype(jnp.float32))
-        res = sublayer(res)
-        res = nn.Dropout(self.dout_p)(res, deterministic=deterministic)
-        return x + res
+        return self.post(x, sublayer(self.pre(x)), deterministic)
 
 
 class BridgeConnection(nn.Module):

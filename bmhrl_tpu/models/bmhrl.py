@@ -148,6 +148,28 @@ class BMFusionLayer(nn.Module):
         return {"A": self.enc_att_A.project_kv(Av, Av),
                 "V": self.enc_att_V.project_kv(Va, Va)}
 
+    def step(self, c_t, t, cache, masks, cross_kv, deterministic: bool = True):
+        """Single-position fusion step. c_t: (B, 1, Dc); cache: {"k","v"}
+        self-attention KV cache; cross_kv from precompute_kv."""
+        det = deterministic
+        h = self.res_self.pre(c_t).astype(c_t.dtype)
+        out, k, v = self.self_att.attend_step(h, h, cache["k"], cache["v"],
+                                              t, det)
+        C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
+        ha = self.res_A.pre(C).astype(c_t.dtype)
+        out_a = self.enc_att_A(ha, None, None, masks["A_mask"],
+                               deterministic=det, precomputed_kv=cross_kv["A"])
+        Ca = self.res_A.post(C, out_a.astype(c_t.dtype), det)
+        hv = self.res_V.pre(C).astype(c_t.dtype)
+        out_v = self.enc_att_V(hv, None, None, masks["V_mask"],
+                               deterministic=det, precomputed_kv=cross_kv["V"])
+        Cv = self.res_V.post(C, out_v.astype(c_t.dtype), det)
+        Ca = self.normCA(Ca.astype(jnp.float32))
+        Cv = self.normCV(Cv.astype(jnp.float32))
+        av_factor = nn.sigmoid(jnp.clip(self.a_v_constant, -2.0, 2.0))
+        fused = av_factor * Cv + (1.0 - av_factor) * Ca
+        return fused.astype(self.dtype), {"k": k, "v": v}
+
     def __call__(self, x, masks, deterministic: bool = True, cross_kv=None):
         C, memory = x
         Av, Va = memory
@@ -203,6 +225,14 @@ class BMFusion(nn.Module):
             C, memory = layer((C, memory), masks, deterministic, cross_kv=kv)
         return C
 
+    def step(self, c_t, t, caches, masks, cross_kv, deterministic: bool = True):
+        """Single-position pass through the stack; caches: list per layer."""
+        new_caches = []
+        for layer, cache, kv in zip(self.layers, caches, cross_kv):
+            c_t, cache = layer.step(c_t, t, cache, masks, kv, deterministic)
+            new_caches.append(cache)
+        return c_t, new_caches
+
 
 class Manager(nn.Module):
     """Goal emitter: linear(d_caps -> d_goal) + dropout, optional exploration
@@ -215,7 +245,20 @@ class Manager(nn.Module):
     mean_factor: float = 10.0
     std_factor: float = 5.0
 
-    @nn.compact
+    def setup(self):
+        self.linear = nn.Dense(self.d_goal, dtype=jnp.float32, name="linear")
+        self.drop = nn.Dropout(self.dout_p)
+
+    def goal_step(self, manager_feat_t: jnp.ndarray, label_t: jnp.ndarray,
+                  deterministic: bool = True) -> jnp.ndarray:
+        """Goal for the single frontier position: within a decode prefix the
+        next boundary >= t is t itself iff label[t] is set, so
+        goal[t] = linear(feat[t]) * label[t] (no exploration noise in the
+        incremental path — decode runs with exploration off)."""
+        x = self.linear(manager_feat_t.astype(jnp.float32))
+        x = self.drop(x, deterministic=deterministic)
+        return x * label_t[:, None, None].astype(jnp.float32)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -223,9 +266,8 @@ class Manager(nn.Module):
         exploration: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = nn.Dense(self.d_goal, dtype=jnp.float32, name="linear")(
-            x.astype(jnp.float32))
-        x = nn.Dropout(self.dout_p)(x, deterministic=deterministic)
+        x = self.linear(x.astype(jnp.float32))
+        x = self.drop(x, deterministic=deterministic)
         if exploration:
             mean = jnp.nanmean(x) / self.mean_factor
             std = jnp.sqrt(jnp.nanmean(jnp.abs(x - jnp.nanmean(x)) ** 2)) / self.std_factor
@@ -248,16 +290,31 @@ class Worker(nn.Module):
     d_model: int
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, goal, mask, deterministic: bool = True) -> jnp.ndarray:
-        goal_completion = MultiheadedAttention(
+    def setup(self):
+        self.goal_attention = MultiheadedAttention(
             self.d_goal, self.d_in, self.d_in, 2, self.dout_p, self.d_model,
-            dtype=self.dtype, name="goal_attention",
-        )(goal.astype(self.dtype), x, x, mask, deterministic=deterministic)
+            dtype=self.dtype, name="goal_attention")
+        self.projection = nn.Dense(self.voc_size, dtype=jnp.float32,
+                                   name="projection")
+
+    def __call__(self, x, goal, mask, deterministic: bool = True) -> jnp.ndarray:
+        goal_completion = self.goal_attention(
+            goal.astype(self.dtype), x, x, mask, deterministic=deterministic)
         h = jnp.concatenate([x, goal_completion.astype(x.dtype)], axis=-1)
-        logits = nn.Dense(self.voc_size, dtype=jnp.float32, name="projection")(
-            h.astype(jnp.float32))
+        logits = self.projection(h.astype(jnp.float32))
         return nn.log_softmax(logits, axis=-1)
+
+    def step(self, worker_feat_t, goal_t, k_cache, v_cache, t,
+             deterministic: bool = True):
+        """Single-position head: goal[t] attends the worker-feature cache
+        (positions <= t); returns (log-probs (B, V), caches)."""
+        out, k_cache, v_cache = self.goal_attention.attend_step(
+            goal_t.astype(self.dtype), worker_feat_t, k_cache, v_cache, t,
+            deterministic)
+        h = jnp.concatenate([worker_feat_t, out.astype(worker_feat_t.dtype)],
+                            axis=-1)
+        logits = self.projection(h.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1), k_cache, v_cache
 
 
 class BMHrlAgent(nn.Module):
@@ -368,6 +425,49 @@ class BMHrlAgent(nn.Module):
         layer — computed once per clip by the decode loop."""
         return {"worker": self.bm_worker_fus.precompute_kv(Av, Va),
                 "manager": self.bm_manager_fus.precompute_kv(Av, Va)}
+
+    # -- fully incremental decode (O(1) positions per generated token) ------
+    def init_decode_caches(self, B: int, L: int):
+        def mha_cache(mha):
+            z = jnp.zeros(mha.kv_cache_shape(B, L), self.dtype)
+            return {"k": z, "v": jnp.zeros_like(z)}
+
+        return {
+            "critic": self.critic.init_state(B),
+            "wself": [mha_cache(l.self_att) for l in self.bm_worker_fus.layers],
+            "mself": [mha_cache(l.self_att) for l in self.bm_manager_fus.layers],
+            "goal": mha_cache(self.worker.goal_attention),
+        }
+
+    def decode_step(self, tok_t, t, caches, masks, fusion_kv,
+                    deterministic: bool = True):
+        """One-token decode against KV caches: the critic advances one cell,
+        each fusion stack processes ONE position, and the worker head scores
+        goal[t] against the cached worker features. Exact for
+        exploration=False (decode/eval); per-step cost is O(1) positions
+        instead of re-running the stacks over the whole buffer.
+
+        tok_t: (B,) last generated token; returns (log-probs (B, V), caches).
+        """
+        from bmhrl_tpu.models.blocks import sinusoid_table
+
+        emb_t = self.emb_C(tok_t[:, None])  # (B, 1, Dc) scaled embedding
+        score_t, crit = self.critic.step(emb_t[:, 0], caches["critic"])
+        label_t = (nn.sigmoid(score_t[:, 0])
+                   > self.critic_score_threshold).astype(jnp.int32)
+        table = jnp.asarray(sinusoid_table(3660, self.d_model_caps))
+        c_t = (emb_t + table[t][None, None, :]).astype(self.dtype)
+        wf_t, wself = self.bm_worker_fus.step(
+            c_t, t, caches["wself"], masks, fusion_kv["worker"], deterministic)
+        mf_t, mself = self.bm_manager_fus.step(
+            c_t, t, caches["mself"], masks, fusion_kv["manager"], deterministic)
+        goal_t = self.manager.goal_step(mf_t, label_t, deterministic)
+        logits, gk, gv = self.worker.step(
+            wf_t, goal_t, caches["goal"]["k"], caches["goal"]["v"], t,
+            deterministic)
+        new_caches = {"critic": crit, "wself": wself, "mself": mself,
+                      "goal": {"k": gk, "v": gv}}
+        return logits, new_caches
 
     def decode_with_labels(
         self, trg, segment_labels, Va, Av, masks,

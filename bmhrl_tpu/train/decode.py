@@ -98,9 +98,51 @@ def _decode_loop(
     return carry[1], carry[4]
 
 
+def _decode_loop_fast(
+    model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
+    pad_idx, greedy, rng,
+):
+    """Fully incremental loop over model.decode_step: O(1) positions per
+    token (KV caches for self/goal attention, carried critic state,
+    precomputed cross-attention K/V). Exact for exploration=False."""
+    L = max_len + 1
+    trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
+    done0 = jnp.zeros((B,), bool)
+    caches0 = model.apply(params, B, L, method="init_decode_caches")
+    fusion_kv = model.apply(params, Va, Av, method="precompute_fusion_kv")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def cond(carry):
+        t, _, done = carry[0], carry[1], carry[2]
+        return (t < max_len) & ~jnp.all(done)
+
+    def body(carry):
+        t, trg, done, rng, probs, caches = carry
+        tok_t = trg[jnp.arange(B), t]
+        logits_t, caches = model.apply(
+            params, tok_t, t, caches, masks_src, fusion_kv,
+            method="decode_step")
+        rng, sub = jax.random.split(rng)
+        if greedy:
+            nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(sub, logits_t, axis=-1).astype(jnp.int32)
+        p_t = jnp.take_along_axis(jnp.exp(logits_t), nxt[:, None], axis=-1)[:, 0]
+        trg = trg.at[:, t + 1].set(nxt)
+        probs = probs.at[:, t + 1].set(p_t)
+        done = done | (nxt == end_idx)
+        return (t + 1, trg, done, rng, probs, caches)
+
+    probs0 = jnp.zeros((B, L), jnp.float32)
+    carry = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), trg0, done0, rng, probs0, caches0))
+    return carry[1], carry[4]
+
+
 @partial(jax.jit, static_argnames=(
     "model", "max_len", "start_idx", "end_idx", "pad_idx", "greedy",
-    "exploration"))
+    "exploration", "use_fast"))
 def decode(
     model,
     params,
@@ -113,6 +155,7 @@ def decode(
     greedy: bool = True,
     rng: Optional[jax.Array] = None,
     exploration: bool = False,
+    use_fast: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy/sampled decode. feats: {'rgb','flow','audio'}; V = rgb + flow
     (ref: captioning_bmrl_loops.py:92). Returns (tokens (B, max_len+1),
@@ -122,6 +165,14 @@ def decode(
     B = V.shape[0]
     Va, Av = model.apply(
         params, V, A, masks_src, method="encode")
+    # The O(1)-positions KV-cached loop is token-exact with the full path
+    # (tested) but trades few large ops for many tiny ones; on the current
+    # latency-bound bench chip the full-buffer loop is faster, so fast mode
+    # is opt-in (the right default for larger max_len / local chips).
+    if use_fast and hasattr(type(model), "decode_step") and not exploration:
+        return _decode_loop_fast(
+            model, params, Va, Av, masks_src, B, max_len, start_idx,
+            end_idx, pad_idx, greedy, rng)
     return _decode_loop(
         model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
         pad_idx, greedy, rng, exploration)

@@ -92,3 +92,22 @@ def test_detokenize():
     out = detokenize(toks, itos)
     assert out[0] == "A man runs"
     assert out[1] == "Man runs <blank> <blank> <blank>"  # no </s>: keep tail
+
+
+def test_fast_decode_matches_full(model_setup):
+    """The incremental (KV-cached) decode must produce exactly the tokens of
+    the full-buffer decode path (greedy, deterministic)."""
+    from bmhrl_tpu.train import decode as D
+
+    model, params, feats, trg, masks = model_setup
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    V = feats["rgb"] + feats["flow"]
+    A = feats["audio"]
+    Va, Av = model.apply(params, V, A, masks_src, method="encode")
+    full_toks, full_probs = D._decode_loop(
+        model, params, Va, Av, masks_src, B, 8, 2, 3, 1, True, None)
+    fast_toks, fast_probs = D._decode_loop_fast(
+        model, params, Va, Av, masks_src, B, 8, 2, 3, 1, True, None)
+    np.testing.assert_array_equal(np.asarray(full_toks), np.asarray(fast_toks))
+    np.testing.assert_allclose(np.asarray(full_probs), np.asarray(fast_probs),
+                               rtol=1e-4, atol=1e-5)
