@@ -73,10 +73,10 @@ def device_batch(batch: Dict, mesh) -> Dict:
 def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
                dataset: CaptioningDataset, epoch: int, logger: ScalarLogger,
                reference_path: str, max_batches: Optional[int] = None) -> Dict:
-    if max_batches is None:
-        max_batches = cfg.eval_max_batches
     """Greedy-decode a val split, dump the ANet submission JSON, score it.
     ref: validation_loops.py:13-137 + eval_model (:258-278)."""
+    if max_batches is None:
+        max_batches = cfg.eval_max_batches
     model = sf.model
     predictions = {"version": "VERSION 1.0",
                    "external_data": {"used": True, "details": ""},
@@ -104,8 +104,15 @@ def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
             cfg.log_path, f"captioning_results_{dataset.phase}_e{epoch}.json")
         with open(sub_path, "w") as f:
             json.dump(predictions, f)
+    if dataset.phase == "learned_props":
+        # predicted proposals: all reference files, full tIoU sweep
+        # (ref: validation_loops.py:46-49)
+        refs = [p for p in cfg.reference_paths if os.path.exists(p)]
+        tious = list(cfg.tIoUs)
+    else:
+        refs, tious = [reference_path], [0.5]
     metrics = calculate_metrics(
-        [reference_path], predictions, [0.5], cfg.max_prop_per_vid)
+        refs, predictions, tious, cfg.max_prop_per_vid)
     avg = metrics["Average across tIoUs"]
     if logger is not None:
         for m in ("METEOR", "Bleu_4", "Bleu_3", "Precision", "Recall"):
