@@ -68,7 +68,13 @@ def main():
     ours_sec = (time.time() - t0) / iters
     clips_per_sec = B / ours_sec
 
-    # --- reference-style: full re-forward (encoder included) per token
+    # --- reference-style: a host-driven loop calling a jitted FULL forward
+    # (encoder included) per token — exactly the reference's decode algorithm
+    # (ref: captioning_bmrl_loops.py:61-76). NOTE: putting this loop on-device
+    # (lax.fori_loop) would let XLA hoist the loop-invariant encoder and stop
+    # being the reference algorithm; the host loop is the faithful baseline.
+    # Its per-step dispatch latency makes vs_baseline vary with environment
+    # (2.5-12x observed through the tunnel to the bench chip).
     @jax.jit
     def full_forward(params, trg):
         masks = dict(masks_src)
