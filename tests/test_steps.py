@@ -148,3 +148,29 @@ def test_val_loss_step(setup):
     state = sf.init_state(jax.random.PRNGKey(4), jax.tree.map(np.asarray, batch))
     loss = float(sf.val_loss_step(state, batch))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_rl_improves_reward():
+    """End-to-end RL sign check: on a tiny overfit task, 60 biased-KL worker
+    steps must raise the sampled-caption CIDEr (validates the reward ->
+    amplitude -> loss plumbing direction, not just finiteness)."""
+    cfg, sf, scorer, batch = tiny_setup()
+    caps = ["w0 w1 w2", "w0 w1 w2"]
+    batch = dict(batch)
+    batch["caption_idx"] = jnp.asarray(
+        [[2, 4, 5, 6, 3, 1, 1, 1], [2, 4, 5, 6, 3, 1, 1, 1]], jnp.int32)
+    state = sf.init_state(jax.random.PRNGKey(0),
+                          jax.tree.map(np.asarray, batch))
+    for i in range(10):
+        state, _, _ = sf.warmstart_step(state, batch, jax.random.PRNGKey(i),
+                                        1e-3)
+    scores = []
+    for i in range(60):
+        k = jax.random.PRNGKey(1000 + i)
+        roll = sf.rl_rollout(state, batch, k, True)
+        score, rewards = scorer.delta_worker(np.asarray(roll["sampled"]), caps)
+        scores.append(float(rewards[:, -1].mean()))
+        state, _ = sf.rl_update(state, batch, k, 3e-4, roll,
+                                jnp.asarray(score), True)
+    early, late = np.mean(scores[:10]), np.mean(scores[-10:])
+    assert late > early, (early, late)
