@@ -101,7 +101,7 @@ class ResidualConnection(nn.Module):
     dout_p: float
 
     def setup(self):
-        self.norm = nn.LayerNorm(name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         self.drop = nn.Dropout(self.dout_p)
 
     def pre(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,7 +129,7 @@ class BridgeConnection(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = nn.LayerNorm(name="norm")(x.astype(jnp.float32))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x.astype(jnp.float32))
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear")(x)
         x = nn.Dropout(self.dout_p)(x, deterministic=deterministic)
         return nn.relu(x)

@@ -139,8 +139,8 @@ class BMFusionLayer(nn.Module):
                                         name="res_enc_att_A")
         self.res_V = ResidualConnection(self.d_model_C, self.dout_p,
                                         name="res_enc_att_V")
-        self.normCA = nn.LayerNorm(name="normCA")
-        self.normCV = nn.LayerNorm(name="normCV")
+        self.normCA = nn.LayerNorm(epsilon=1e-5, name="normCA")
+        self.normCV = nn.LayerNorm(epsilon=1e-5, name="normCV")
         self.a_v_constant = self.param(
             "a_v_constant", lambda k: jnp.zeros((1,), jnp.float32))
 

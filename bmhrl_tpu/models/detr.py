@@ -49,13 +49,13 @@ class DetrEncoderLayer(nn.Module):
         q = pos_enc(src, deterministic)
         src2 = att(q, q, src, mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dout_p)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src.astype(jnp.float32)).astype(self.dtype)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dropout(self.dout_p)(h, deterministic=deterministic)
         src2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         src = src + nn.Dropout(self.dout_p)(src2, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(src.astype(jnp.float32)).astype(self.dtype)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src.astype(jnp.float32)).astype(self.dtype)
 
 
 class DetrEncoder(nn.Module):
@@ -77,7 +77,7 @@ class DetrEncoder(nn.Module):
                 self.d_model, self.nhead, self.dim_ff, self.dout_p,
                 self.dtype, name=f"layer_{i}")(out, mask, pos_enc, deterministic)
         if self.final_norm:
-            out = nn.LayerNorm(name="norm")(out.astype(jnp.float32)).astype(self.dtype)
+            out = nn.LayerNorm(epsilon=1e-5, name="norm")(out.astype(jnp.float32)).astype(self.dtype)
         return out
 
 
@@ -126,30 +126,30 @@ class DetrDecoderLayer(nn.Module):
             causal = False
         tgt2 = self_attn(q, k, tgt, query_mask, causal=causal, deterministic=det)
         # reference order: norm BEFORE the residual add (decoder.py:77-78)
-        tgt = nn.LayerNorm(name="norm1")(tgt.astype(jnp.float32)).astype(self.dtype)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt.astype(jnp.float32)).astype(self.dtype)
         tgt = tgt + drop(1, tgt2)
 
         tgt2 = cross_attn(q, pos_enc(memory, det), memory, memory_mask,
                           deterministic=det)
         tgt = tgt + drop(2, tgt2)
-        tgt = nn.LayerNorm(name="norm2")(tgt.astype(jnp.float32)).astype(self.dtype)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt.astype(jnp.float32)).astype(self.dtype)
         if goal is not None:
             tgt2 = goal_attn(query_pos_enc(tgt, det), goal_pos_enc(goal, det),
                              goal, goal_mask, deterministic=det)
             tgt = tgt + drop(4, tgt2)
-            tgt = nn.LayerNorm(name="norm4")(tgt.astype(jnp.float32)).astype(self.dtype)
+            tgt = nn.LayerNorm(epsilon=1e-5, name="norm4")(tgt.astype(jnp.float32)).astype(self.dtype)
         if detected_objects is not None:
             # the reference drops the object mask (decoder.py:107)
             tgt2 = det_attn(q, detected_objects, detected_objects, None,
                             deterministic=det)
             tgt = tgt + drop(5, tgt2)
-            tgt = nn.LayerNorm(name="norm5")(tgt.astype(jnp.float32)).astype(self.dtype)
+            tgt = nn.LayerNorm(epsilon=1e-5, name="norm5")(tgt.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(tgt)
         h = nn.relu(h)
         h = nn.Dropout(self.dout_p)(h, deterministic=det)
         tgt2 = nn.Dense(self.d_model_C, dtype=self.dtype, name="linear2")(h)
         tgt = tgt + drop(3, tgt2)
-        return nn.LayerNorm(name="norm3")(tgt.astype(jnp.float32)).astype(self.dtype)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt.astype(jnp.float32)).astype(self.dtype)
 
 
 class DetrDecoder(nn.Module):
@@ -179,7 +179,7 @@ class DetrDecoder(nn.Module):
                 out, memory, memory_mask, pos_enc, query_pos_enc, query_mask,
                 goal, goal_mask, goal_pos_enc, add_pos, detected_objects,
                 deterministic)
-        return nn.LayerNorm(name="norm")(out.astype(jnp.float32)).astype(self.dtype)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(out.astype(jnp.float32)).astype(self.dtype)
 
 
 class ObjectDetect(nn.Module):
@@ -223,8 +223,20 @@ class ObjectDetect(nn.Module):
 
 
 class DetrCaption(nn.Module):
-    """DETR-variant captioner. ref: det_bmhrl_agent.py:12-208 (the executed
-    path: use_manager=False, pre_goal_attention=False)."""
+    """DETR-variant captioner. ref: det_bmhrl_agent.py:12-208.
+
+    Default path: use_manager=False, pre_goal_attention=False (ref :165).
+
+    ``pre_goal_attention=True`` enables the goal-fusion path the reference
+    *designed* but cannot execute: its forward reads ``goals`` under
+    ``if self.pre_goal_attention`` (ref :188-199) while the block computing
+    ``goals`` is gated by the hardcoded ``use_manager = False`` (ref :165),
+    so the shipped code raises NameError. We implement the intended
+    composition — manager_decoder context -> critic segment labels with the
+    first-end-token boundary forcing (ref :177-185) -> Manager goals ->
+    goal/goal-feature attention fusion into the caption stream
+    (ref :188-199) — with a widened (d_caps + d_goal) worker decoder and
+    vocab head (ref :46-56)."""
 
     voc_size: int
     d_model: int = 1024
@@ -236,6 +248,7 @@ class DetrCaption(nn.Module):
     dim_ff: int = 2048
     dout_p: float = 0.1
     critic_score_threshold: float = 0.25
+    pre_goal_attention: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -249,7 +262,7 @@ class DetrCaption(nn.Module):
                     dtype=self.dtype, name=f"input_proj_{i}")
             for i in range(self.n_time)]
         self.input_norms = [
-            nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+            nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                          name=f"input_norm_{i}")
             for i in range(self.n_time)]
         self.encoder = DetrEncoder(
@@ -258,11 +271,36 @@ class DetrCaption(nn.Module):
         self.object_detector = ObjectDetect(
             self.voc_size, self.d_model, self.d_goal, self.dout_p,
             dtype=self.dtype, name="object_detector")
+        # pre_goal_attention widens the worker stream to d_caps + d_goal
+        # (ref det_bmhrl_agent.py:46-56)
+        d_worker = self.d_model_caps + (self.d_goal if self.pre_goal_attention
+                                        else 0)
         self.worker_decoder = DetrDecoder(
-            self.d_model, self.nhead, self.d_model_caps, self.d_goal,
+            self.d_model, self.nhead, d_worker, self.d_goal,
             self.dim_ff, self.dout_p, self.num_layers, dtype=self.dtype,
             name="worker_decoder")
         self.linear = nn.Dense(self.voc_size, dtype=jnp.float32, name="linear")
+        if self.pre_goal_attention:
+            from bmhrl_tpu.models.bmhrl import Manager
+
+            self.manager_decoder = DetrDecoder(
+                self.d_model, self.nhead, self.d_model_caps, self.d_goal,
+                self.dim_ff, self.dout_p, self.num_layers, dtype=self.dtype,
+                name="manager_decoder")
+            self.manager = Manager(self.d_model_caps, self.d_goal,
+                                   self.dout_p, name="manager")
+            self.pos_enc_goal = PositionalEncoder(self.d_goal, self.dout_p)
+            self.pos_enc_concat = PositionalEncoder(d_worker, self.dout_p)
+            att = dict(dout_p=self.dout_p, d_model=self.d_model,
+                       dtype=self.dtype)
+            self.goal_attention = MultiheadedAttention(
+                self.d_model_caps, self.d_goal, self.d_goal, self.nhead,
+                name="goal_attention", **att)
+            self.goal_feature_attention = MultiheadedAttention(
+                self.d_goal, self.d_model_caps, self.d_model_caps, self.nhead,
+                name="goal_feature_attention", **att)
+            self.goal_norm = nn.LayerNorm(epsilon=1e-5, name="goal_norm")
+            self.goal_dropout = nn.Dropout(self.dout_p)
 
     # -- pieces --------------------------------------------------------------
     def project_video(self, x_video, deterministic: bool = True):
@@ -281,14 +319,53 @@ class DetrCaption(nn.Module):
         memory = self.encoder(vf, mask, self.pos_enc, deterministic)
         return memory, hs_obj
 
+    def _forced_segment_labels(self, trg, C):
+        """Critic labels with the first-end-token boundary forced to 1 and
+        everything after it zeroed (ref det_bmhrl_agent.py:177-185;
+        vectorized instead of the reference's per-row host loop). ``trg``
+        already has EOS replaced by PAD."""
+        segments = nn.sigmoid(self.critic(C))
+        labels = (segments[..., 0] > self.critic_score_threshold).astype(
+            jnp.int32)
+        L = trg.shape[1]
+        pad_count = jnp.sum((trg == PAD).astype(jnp.int32), axis=-1)
+        first_end = L - 1 - pad_count  # (B,)
+        pos = jnp.arange(L)[None, :]
+        labels = jnp.where(pos == first_end[:, None], 1, labels)
+        return jnp.where(pos > first_end[:, None], 0, labels)
+
     def caption_head(self, trg, memory, hs_obj, masks,
-                     deterministic: bool = True):
+                     exploration: bool = False, deterministic: bool = True):
         trg = jnp.where(trg == EOS, PAD, trg)  # ref :151-152
         C = self.emb_C(trg)
+        det = deterministic
+        if self.pre_goal_attention:
+            # the goal-fusion path (ref :167-199, intent — see class doc)
+            worker_context = self.manager_decoder(
+                C.astype(self.dtype), memory, masks["V_mask"], self.pos_enc,
+                self.pos_enc_C, masks["C_mask"], deterministic=det)
+            labels = self._forced_segment_labels(trg, C)
+            goals = self.manager(worker_context.astype(jnp.float32), labels,
+                                 exploration, det)
+            gfa = self.goal_feature_attention(
+                self.pos_enc_goal(goals.astype(self.dtype), det),
+                self.pos_enc_C(C, det).astype(self.dtype), C.astype(self.dtype),
+                masks["C_mask"], deterministic=det)
+            tgt2 = self.goal_attention(
+                self.pos_enc_C(C, det).astype(self.dtype),
+                self.pos_enc_goal(goals.astype(self.dtype), det),
+                goals.astype(self.dtype), masks["C_mask"], deterministic=det)
+            C = C + self.goal_dropout(tgt2.astype(C.dtype), deterministic=det)
+            C = self.goal_norm(C.astype(jnp.float32))
+            C = jnp.concatenate([C.astype(self.dtype),
+                                 gfa.astype(self.dtype)], axis=-1)
+            query_pe = self.pos_enc_concat
+        else:
+            query_pe = self.pos_enc_C
         wf = self.worker_decoder(
             C.astype(self.dtype), memory, masks["V_mask"], self.pos_enc,
-            self.pos_enc_C, masks["C_mask"], detected_objects=hs_obj,
-            deterministic=deterministic)
+            query_pe, masks["C_mask"], detected_objects=hs_obj,
+            deterministic=det)
         pred = nn.log_softmax(self.linear(wf.astype(jnp.float32)), axis=-1)
         return pred, wf
 
@@ -303,7 +380,8 @@ class DetrCaption(nn.Module):
         classified_words, hs_obj, _ = self.object_detector(
             vf, mask, deterministic)
         memory = self.encoder(vf, mask, self.pos_enc, deterministic)
-        pred, wf = self.caption_head(trg, memory, hs_obj, masks, deterministic)
+        pred, wf = self.caption_head(trg, memory, hs_obj, masks,
+                                     exploration, deterministic)
         B, Lc = trg.shape
         zeros_goal = jnp.zeros((B, Lc, self.d_goal), jnp.float32)
         zeros_seg = jnp.zeros((B, Lc), jnp.int32)
@@ -323,7 +401,8 @@ class DetrCaption(nn.Module):
 
     def decode_with_labels(self, trg, segment_labels, Va, Av, masks,
                            exploration=False, deterministic: bool = True):
-        pred, wf = self.caption_head(trg, Va, Av, masks, deterministic)
+        pred, wf = self.caption_head(trg, Va, Av, masks, exploration,
+                                     deterministic)
         return pred, wf, Va, None, segment_labels
 
     def inference(self, x, trg, masks):
@@ -334,4 +413,6 @@ class DetrCaption(nn.Module):
         return DetrCaption(
             voc_size=voc_size, d_model=cfg.d_model,
             d_model_caps=cfg.d_model_caps, d_goal=cfg.rl_goal_d,
-            nhead=cfg.rl_att_heads, dout_p=cfg.dout_p, dtype=dtype)
+            nhead=cfg.rl_att_heads, dout_p=cfg.dout_p,
+            pre_goal_attention=getattr(cfg, "pre_goal_attention", False),
+            dtype=dtype)

@@ -76,7 +76,7 @@ class UnimodalFusionLayer(nn.Module):
         C = res_self(C, lambda h: self_att(h, h, h, c_mask, deterministic=det), det)
         Cm = res_enc(C, lambda h: enc_att(h, memory, memory, m1_mask,
                                           deterministic=det), det)
-        Cm = nn.LayerNorm(name="normC")(Cm.astype(jnp.float32))
+        Cm = nn.LayerNorm(epsilon=1e-5, name="normC")(Cm.astype(jnp.float32))
         return Cm.astype(self.dtype)
 
 

@@ -292,13 +292,219 @@ def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2,
             put_zeros(f"{pref}.feed_forward.fc2.weight", (d_caps, d_ff_c))
             put_zeros(f"{pref}.feed_forward.fc2.bias", (d_caps,))
     dense("manager.linear", p["manager"]["linear"])
-    # Manager's unused LinearCore (ref :404-406; forward uses .linear)
+    # Manager's unused LinearCore (ref :404-406; forward uses .linear).
+    # The reference registers the SAME module twice (bm_hrl_agent.py:532-534:
+    # self.manager_core and manager.core), so both key sets must exist for a
+    # strict load_state_dict.
     put_zeros("manager.core.linear.weight", (d_goal, d_caps))
     put_zeros("manager.core.linear.bias", (d_goal,))
+    put_zeros("manager_core.linear.weight", (d_goal, d_caps))
+    put_zeros("manager_core.linear.bias", (d_goal,))
     mha("worker.goal_attention", p["worker"]["goal_attention"])
     dense("worker.core.projection", p["worker"]["projection"])
 
     import torch
+
+    torch.save(sd, path)
+    return path
+
+
+def export_torch_detr(params: Dict[str, Any], path: str, *,
+                      d_goal: int = 64, num_layers: int = 3,
+                      n_time: int = 3, dim_ff: int = 2048,
+                      obj_hidden: int = 256, obj_layers: int = 6,
+                      pre_goal_attention: bool = False) -> str:
+    """flax DetrCaption params -> a torch state_dict in the reference
+    ``detr_agent.pt`` layout (model/det_bmhrl_agent.py:12-91 +
+    encoder.py/decoder.py/object_detector.py module trees), suitable for a
+    STRICT ``load_state_dict`` on the reference model.
+
+    The reference registers many parameters its executed forward never
+    touches (the whole manager_decoder stack, per-layer goal_attention,
+    norm4, the empty ``positional_encoding``, encoder ``embed`` heads,
+    query_embed(80,300), object_detector.linear); those are emitted as
+    zeros. With ``pre_goal_attention=True`` the goal-path modules are live
+    and exported from ``params`` instead."""
+    import torch
+
+    p = jax.tree.map(np.asarray, params.get("params", params))
+    sd: Dict[str, Any] = {}
+
+    def put(key, arr):
+        sd[key] = torch.tensor(np.asarray(arr))
+
+    def zeros(key, *shape):
+        sd[key] = torch.zeros(*shape) if shape else torch.zeros(0)
+
+    def dense(prefix, t):
+        put(f"{prefix}.weight", t["kernel"].T)
+        put(f"{prefix}.bias", t["bias"])
+
+    def ln(prefix, t):
+        put(f"{prefix}.weight", t["scale"])
+        put(f"{prefix}.bias", t["bias"])
+
+    def ln_dead(prefix, d):
+        zeros(f"{prefix}.weight", d)
+        zeros(f"{prefix}.bias", d)
+
+    def mha(prefix, t):
+        for n in ["linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"]:
+            dense(f"{prefix}.{n}", t[n])
+
+    def mha_dead(prefix, dq, dk, dv, d_att):
+        for n, din, dout in [("linear_Q2d", dq, d_att),
+                             ("linear_K2d", dk, d_att),
+                             ("linear_V2d", dv, d_att),
+                             ("linear_d2Q", d_att, dq)]:
+            zeros(f"{prefix}.{n}.weight", dout, din)
+            zeros(f"{prefix}.{n}.bias", dout)
+
+    emb = p["emb_C"]["embedding"]["embedding"]
+    voc, d_caps = emb.shape
+    d_model = p["encoder"]["layer_0"]["self_attn"]["linear_Q2d"][
+        "kernel"].shape[0]
+    d_worker = d_caps + (d_goal if pre_goal_attention else 0)
+
+    put("emb_C.embedder.weight", emb)
+
+    if "critic" in p:
+        crit = p["critic"]
+        for l in range(4):
+            for k in ["weight_ih", "weight_hh", "bias_ih", "bias_hh"]:
+                put(f"critic.lstm.{k}_l{l}", crit[f"lstm_l{l}"][k])
+        for l in range(2):
+            for k in ["weight_ih", "weight_hh", "bias_ih", "bias_hh"]:
+                put(f"critic.gru.{k}_l{l}", crit[f"gru_l{l}"][k])
+        dense("critic.lin", crit["lin"])
+        for r in ["relu", "relu2"]:
+            put(f"critic.{r}.alpha", crit[r]["alpha"])
+            put(f"critic.{r}.beta", crit[r]["beta"])
+    else:
+        # default DETR path: the critic is dead (flax creates no params for
+        # it) but the reference registers it — emit zeros of the right shapes
+        for l in range(4):
+            zeros(f"critic.lstm.weight_ih_l{l}", 8 * d_caps,
+                  d_caps if l == 0 else 2 * d_caps)
+            zeros(f"critic.lstm.weight_hh_l{l}", 8 * d_caps, 2 * d_caps)
+            zeros(f"critic.lstm.bias_ih_l{l}", 8 * d_caps)
+            zeros(f"critic.lstm.bias_hh_l{l}", 8 * d_caps)
+        for l in range(2):
+            zeros(f"critic.gru.weight_ih_l{l}", 6 * d_caps, 2 * d_caps)
+            zeros(f"critic.gru.weight_hh_l{l}", 6 * d_caps, 2 * d_caps)
+            zeros(f"critic.gru.bias_ih_l{l}", 6 * d_caps)
+            zeros(f"critic.gru.bias_hh_l{l}", 6 * d_caps)
+        zeros("critic.lin.weight", 1, 2 * d_caps)
+        zeros("critic.lin.bias", 1)
+        for r in ["relu", "relu2"]:
+            zeros(f"critic.{r}.alpha", 1)
+            zeros(f"critic.{r}.beta", 1)
+
+    def encoder_stack(tname, tree, d, nl):
+        """TransformerEncoder: live self_attn/linear1/linear2/norm1/norm2,
+        dead ``embed`` (Linear d->300, encoder.py:50)."""
+        for i in range(nl):
+            layer = tree[f"layer_{i}"]
+            pref = f"{tname}.layers.{i}"
+            mha(f"{pref}.self_attn", layer["self_attn"])
+            dense(f"{pref}.linear1", layer["linear1"])
+            dense(f"{pref}.linear2", layer["linear2"])
+            zeros(f"{pref}.embed.weight", 300, d)
+            zeros(f"{pref}.embed.bias", 300)
+            ln(f"{pref}.norm1", layer["norm1"])
+            ln(f"{pref}.norm2", layer["norm2"])
+        ln(f"{tname}.norm", tree["norm"])
+
+    def decoder_stack(tname, tree, d_mem, d_C, d_g, d_att, nl,
+                      live_detected, live=True):
+        """TransformerDecoder: per layer self_attn/multihead_attn live,
+        detected_attention live only on the worker path, goal_attention +
+        norm4 always dead, positional_encoding an empty Parameter
+        (decoder.py:39-66)."""
+        for i in range(nl):
+            layer = tree[f"layer_{i}"] if live else None
+            pref = f"{tname}.layers.{i}"
+            zeros(f"{pref}.positional_encoding")
+            if live:
+                mha(f"{pref}.self_attn", layer["self_attn"])
+                mha(f"{pref}.multihead_attn", layer["multihead_attn"])
+            else:
+                mha_dead(f"{pref}.self_attn", d_C, d_C, d_C, d_att)
+                mha_dead(f"{pref}.multihead_attn", d_C, d_mem, d_mem, d_att)
+            if live and live_detected:
+                mha(f"{pref}.detected_attention", layer["detected_attention"])
+                ln(f"{pref}.norm5", layer["norm5"])
+            else:
+                mha_dead(f"{pref}.detected_attention", d_C, 256, 256, d_att)
+                ln_dead(f"{pref}.norm5", d_C)
+            mha_dead(f"{pref}.goal_attention", d_C, d_g, d_g, d_att)
+            ln_dead(f"{pref}.norm4", d_C)
+            if live:
+                dense(f"{pref}.linear1", layer["linear1"])
+                dense(f"{pref}.linear2", layer["linear2"])
+                ln(f"{pref}.norm1", layer["norm1"])
+                ln(f"{pref}.norm2", layer["norm2"])
+                ln(f"{pref}.norm3", layer["norm3"])
+            else:
+                zeros(f"{pref}.linear1.weight", dim_ff, d_C)
+                zeros(f"{pref}.linear1.bias", dim_ff)
+                zeros(f"{pref}.linear2.weight", d_C, dim_ff)
+                zeros(f"{pref}.linear2.bias", d_C)
+                for n in ["norm1", "norm2", "norm3"]:
+                    ln_dead(f"{pref}.{n}", d_C)
+        if live:
+            ln(f"{tname}.norm", tree["norm"])
+        else:
+            ln_dead(f"{tname}.norm", d_C)
+
+    encoder_stack("encoder", p["encoder"], d_model, num_layers)
+    decoder_stack("worker_decoder", p["worker_decoder"], d_model, d_worker,
+                  d_goal, d_model, num_layers, live_detected=True)
+    if pre_goal_attention:
+        decoder_stack("manager_decoder", p["manager_decoder"], d_model,
+                      d_caps, d_goal, d_model, num_layers,
+                      live_detected=False)
+        dense("manager.linear", p["manager"]["linear"])
+        ln("goal_norm", p["goal_norm"])
+        mha("goal_attention", p["goal_attention"])
+        mha("goal_feature_attention", p["goal_feature_attention"])
+    else:
+        decoder_stack("manager_decoder", None, d_model, d_caps, d_goal,
+                      d_model, num_layers, live_detected=False, live=False)
+        # On the default path the reference ALIASES one LayerNorm object as
+        # both worker_decoder.norm and manager_decoder.norm
+        # (det_bmhrl_agent.py:43: ``worker_decoder_norm = decoder_norm =
+        # nn.LayerNorm(...)``; TransformerDecoder keeps the object, no clone),
+        # so both keys map to the same tensor and the LAST one loaded wins —
+        # emit the live values under both keys.
+        ln("manager_decoder.norm", p["worker_decoder"]["norm"])
+        zeros("manager.linear.weight", d_goal, d_caps)
+        zeros("manager.linear.bias", d_goal)
+        ln_dead("goal_norm", d_caps)
+        mha_dead("goal_attention", d_caps, d_goal, d_goal, d_model)
+        mha_dead("goal_feature_attention", d_goal, d_caps, d_caps, d_model)
+    dense("linear", p["linear"])
+    zeros("query_embed.weight", 80, 300)  # dead (det_bmhrl_agent.py:74)
+
+    od = p["object_detector"]
+    dense("object_detector.class_embed", od["class_embed"])
+    put("object_detector.query_embed.weight", od["query_embed"])
+    dense("object_detector.input_projection", od["input_projection"])
+    zeros("object_detector.linear.weight", voc, obj_hidden)  # dead
+    zeros("object_detector.linear.bias", voc)
+    encoder_stack("object_detector.encoder", od["encoder"], obj_hidden,
+                  obj_layers)
+    decoder_stack("object_detector.decoder", od["decoder"], obj_hidden,
+                  obj_hidden, d_goal, obj_hidden, obj_layers,
+                  live_detected=False)
+
+    for i in range(n_time):
+        # torch Conv1d weight (out, in, k) <- flax Conv kernel (k, in, out)
+        put(f"input_proj.{i}.0.weight",
+            p[f"input_proj_{i}"]["kernel"].transpose(2, 1, 0))
+        put(f"input_proj.{i}.0.bias", p[f"input_proj_{i}"]["bias"])
+        put(f"input_proj.{i}.1.weight", p[f"input_norm_{i}"]["scale"])
+        put(f"input_proj.{i}.1.bias", p[f"input_norm_{i}"]["bias"])
 
     torch.save(sd, path)
     return path
