@@ -135,6 +135,11 @@ class Config:
     eval_max_batches: Optional[int] = None  # cap 1-by-1 eval batches (smoke runs)
     debug_nans: bool = False  # jax_debug_nans (dev-mode anomaly detection)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # one-batch-deep host-score pipeline: host reward scoring of batch t runs
+    # while the device executes the already-dispatched step of batch t+1.
+    # In RL epochs rollouts are then one optimizer update stale (depth-1
+    # pipeline); False restores the reference's strictly sequential order.
+    rl_pipeline: bool = True
 
     # derived (filled in __post_init__) --------------------------------------
     curr_time: str = dataclasses.field(default="", init=False)

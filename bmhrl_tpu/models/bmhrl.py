@@ -25,6 +25,7 @@ from bmhrl_tpu.models.blocks import (
 )
 from bmhrl_tpu.models.critic import SegmentCritic
 from bmhrl_tpu.ops.segments import expand_goals
+from bmhrl_tpu.ops.segments import frontier_goal as expand_goals_frontier
 
 
 class BMEncoderLayer(nn.Module):
@@ -250,14 +251,18 @@ class Manager(nn.Module):
         self.drop = nn.Dropout(self.dout_p)
 
     def goal_step(self, manager_feat_t: jnp.ndarray, label_t: jnp.ndarray,
+                  has_boundary: jnp.ndarray,
                   deterministic: bool = True) -> jnp.ndarray:
-        """Goal for the single frontier position: within a decode prefix the
-        next boundary >= t is t itself iff label[t] is set, so
-        goal[t] = linear(feat[t]) * label[t] (no exploration noise in the
-        incremental path — decode runs with exploration off)."""
+        """Goal for the single frontier position, with the reference
+        expand_goals finalization quirks applied row-wise (ops.segments.
+        frontier_goal). ``has_boundary``: (B,) any label at positions <= t,
+        including t. No exploration noise in the incremental path — decode
+        runs with exploration off."""
+        from bmhrl_tpu.ops.segments import frontier_goal
+
         x = self.linear(manager_feat_t.astype(jnp.float32))
         x = self.drop(x, deterministic=deterministic)
-        return x * label_t[:, None, None].astype(jnp.float32)
+        return frontier_goal(x, label_t, has_boundary)
 
     def __call__(
         self,
@@ -315,6 +320,20 @@ class Worker(nn.Module):
                             axis=-1)
         logits = self.projection(h.astype(jnp.float32))[:, 0]
         return nn.log_softmax(logits, axis=-1), k_cache, v_cache
+
+    def frontier(self, wf_t, worker_feat, goal_t, mask_row,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """Frontier-only head: goal[t] (B, 1, d_goal) attends the FULL
+        worker-feature buffer, but the vocab projection runs on the single
+        frontier position instead of all L — the projection is the dominant
+        per-token decode cost (L*V*d vs V*d). Token-exact with __call__'s
+        row t. Returns (B, V) log-probs."""
+        gc = self.goal_attention(
+            goal_t.astype(self.dtype), worker_feat, worker_feat, mask_row,
+            deterministic=deterministic)
+        h = jnp.concatenate([wf_t, gc.astype(wf_t.dtype)], axis=-1)
+        logits = self.projection(h.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1)
 
 
 class BMHrlAgent(nn.Module):
@@ -437,6 +456,9 @@ class BMHrlAgent(nn.Module):
             "wself": [mha_cache(l.self_att) for l in self.bm_worker_fus.layers],
             "mself": [mha_cache(l.self_att) for l in self.bm_manager_fus.layers],
             "goal": mha_cache(self.worker.goal_attention),
+            # per-row "has any boundary yet" flag for the expand_goals
+            # finalization quirks (ops.segments.frontier_goal)
+            "hb": jnp.zeros((B,), bool),
         }
 
     def decode_step(self, tok_t, t, caches, masks, fusion_kv,
@@ -461,12 +483,13 @@ class BMHrlAgent(nn.Module):
             c_t, t, caches["wself"], masks, fusion_kv["worker"], deterministic)
         mf_t, mself = self.bm_manager_fus.step(
             c_t, t, caches["mself"], masks, fusion_kv["manager"], deterministic)
-        goal_t = self.manager.goal_step(mf_t, label_t, deterministic)
+        hb = caches["hb"] | label_t.astype(bool)
+        goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
         logits, gk, gv = self.worker.step(
             wf_t, goal_t, caches["goal"]["k"], caches["goal"]["v"], t,
             deterministic)
         new_caches = {"critic": crit, "wself": wself, "mself": mself,
-                      "goal": {"k": gk, "v": gv}}
+                      "goal": {"k": gk, "v": gv}, "hb": hb}
         return logits, new_caches
 
     def decode_with_labels(
@@ -491,6 +514,55 @@ class BMHrlAgent(nn.Module):
             manager_feat, segment_labels, exploration, deterministic)
         pred = self.worker(worker_feat, goals, masks["C_mask"], deterministic)
         return pred, worker_feat, manager_feat, goals, segment_labels
+
+    def decode_frontier(
+        self, trg, segment_labels, Va, Av, masks, t,
+        exploration: bool = False, deterministic: bool = True,
+        fusion_kv=None,
+    ):
+        """decode_with_labels with the heads collapsed to frontier position
+        ``t``: the fusion stacks still run over the (static-shape) buffer,
+        but the manager linear, goal attention query and the dominant vocab
+        projection run on ONE position. Token-exact with selecting row t of
+        decode_with_labels (goal expansion at the frontier reduces to
+        goal[t] = x[t] * label[t], since labels beyond t are zero).
+
+        Exploration noise follows ref bm_hrl_agent.py:444-452 with stats
+        over positions <= t — exactly the reference's growing buffer.
+        Returns (B, V) log-probs."""
+        C_emb = self.emb_C(trg)
+        C = self.pos_enc_C(C_emb, deterministic).astype(self.dtype)
+        wkv = fusion_kv["worker"] if fusion_kv is not None else None
+        mkv = fusion_kv["manager"] if fusion_kv is not None else None
+        worker_feat = self.bm_worker_fus((C, (Av, Va)), masks, deterministic,
+                                         cross_kv=wkv)
+        manager_feat = self.bm_manager_fus((C, (Av, Va)), masks, deterministic,
+                                           cross_kv=mkv)
+        mf_t = jax.lax.dynamic_slice_in_dim(manager_feat, t, 1, axis=1)
+        label_t = jax.lax.dynamic_slice_in_dim(
+            segment_labels, t, 1, axis=1)[:, 0]
+        x_t = self.manager.linear(mf_t.astype(jnp.float32))
+        x_t = self.manager.drop(x_t, deterministic=deterministic)
+        if exploration:
+            x_full = self.manager.linear(manager_feat.astype(jnp.float32))
+            pos = jnp.arange(trg.shape[1])[None, :, None]
+            valid = (pos <= t).astype(jnp.float32)
+            cnt = jnp.asarray(t + 1, jnp.float32) * trg.shape[0] * self.d_goal
+            mean = jnp.sum(x_full * valid) / cnt
+            var = jnp.sum((x_full - mean) ** 2 * valid) / cnt
+            mean = jax.lax.stop_gradient(mean / self.manager.mean_factor)
+            std = jax.lax.stop_gradient(
+                jnp.sqrt(var) / self.manager.std_factor)
+            rng = self.make_rng("noise")
+            noise = (jax.random.normal(rng, (self.d_goal,)) * std
+                     + mean - 0.5 * mean)
+            x_t = x_t + noise
+        goal_t = expand_goals_frontier(
+            x_t, label_t, segment_labels.any(axis=1))
+        wf_t = jax.lax.dynamic_slice_in_dim(worker_feat, t, 1, axis=1)
+        mask_row = jax.lax.dynamic_slice_in_dim(masks["C_mask"], t, 1, axis=1)
+        return self.worker.frontier(wf_t, worker_feat, goal_t, mask_row,
+                                    deterministic)
 
     def decode_logits(
         self, trg, Va, Av, masks,

@@ -336,6 +336,14 @@ class DetrCaption(nn.Module):
 
     def caption_head(self, trg, memory, hs_obj, masks,
                      exploration: bool = False, deterministic: bool = True):
+        wf = self.caption_features(trg, memory, hs_obj, masks, exploration,
+                                   deterministic)
+        pred = nn.log_softmax(self.linear(wf.astype(jnp.float32)), axis=-1)
+        return pred, wf
+
+    def caption_features(self, trg, memory, hs_obj, masks,
+                         exploration: bool = False,
+                         deterministic: bool = True):
         trg = jnp.where(trg == EOS, PAD, trg)  # ref :151-152
         C = self.emb_C(trg)
         det = deterministic
@@ -362,12 +370,10 @@ class DetrCaption(nn.Module):
             query_pe = self.pos_enc_concat
         else:
             query_pe = self.pos_enc_C
-        wf = self.worker_decoder(
+        return self.worker_decoder(
             C.astype(self.dtype), memory, masks["V_mask"], self.pos_enc,
             query_pe, masks["C_mask"], detected_objects=hs_obj,
             deterministic=det)
-        pred = nn.log_softmax(self.linear(wf.astype(jnp.float32)), axis=-1)
-        return pred, wf
 
     def __call__(self, x, trg, masks, mix_factor=None, exploration=False,
                  deterministic: bool = True):
@@ -404,6 +410,16 @@ class DetrCaption(nn.Module):
         pred, wf = self.caption_head(trg, Va, Av, masks, exploration,
                                      deterministic)
         return pred, wf, Va, None, segment_labels
+
+    def decode_frontier(self, trg, segment_labels, Va, Av, masks, t,
+                        exploration=False, deterministic: bool = True):
+        """Decoder stack over the full buffer, vocab projection only at the
+        frontier position t (the dominant per-token decode matmul)."""
+        wf = self.caption_features(trg, Va, Av, masks, exploration,
+                                   deterministic)
+        wf_t = jax.lax.dynamic_slice_in_dim(wf, t, 1, axis=1)
+        logits = self.linear(wf_t.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1)
 
     def inference(self, x, trg, masks):
         return self(x, trg, masks)[0]

@@ -198,6 +198,49 @@ class UnimodalAgent(nn.Module):
         pred = self.worker(wf, goals, masks["C_mask"], deterministic)
         return pred, wf, mf, goals, segment_labels
 
+    def decode_frontier(self, trg, segment_labels, Va, Av, masks, t,
+                        exploration=False, deterministic: bool = True):
+        """Fusion stacks over the full buffer; manager linear, goal-attention
+        query and vocab projection at the frontier position only (same
+        contract as BMHrlAgent.decode_frontier; exploration noise stats over
+        positions <= t per ref bm_hrl_agent.py:444-452)."""
+        import jax
+
+        C_emb = self.emb_C(trg)
+        C = self.pos_enc_C(C_emb, deterministic).astype(self.dtype)
+        m1_mask = masks["A_mask"] if self.modality == "audio" else masks["V_mask"]
+        wf = C
+        for layer in self.uni_worker_fus:
+            wf = layer(wf, Va, m1_mask, masks["C_mask"], deterministic)
+        mf = C
+        for layer in self.uni_manager_fus:
+            mf = layer(mf, Va, m1_mask, masks["C_mask"], deterministic)
+        mf_t = jax.lax.dynamic_slice_in_dim(mf, t, 1, axis=1)
+        label_t = jax.lax.dynamic_slice_in_dim(
+            segment_labels, t, 1, axis=1)[:, 0]
+        x_t = self.manager.linear(mf_t.astype(jnp.float32))
+        x_t = self.manager.drop(x_t, deterministic=deterministic)
+        if exploration:
+            x_full = self.manager.linear(mf.astype(jnp.float32))
+            pos = jnp.arange(trg.shape[1])[None, :, None]
+            valid = (pos <= t).astype(jnp.float32)
+            cnt = jnp.asarray(t + 1, jnp.float32) * trg.shape[0] * self.d_goal
+            mean = jnp.sum(x_full * valid) / cnt
+            var = jnp.sum((x_full - mean) ** 2 * valid) / cnt
+            mean = jax.lax.stop_gradient(mean / self.manager.mean_factor)
+            std = jax.lax.stop_gradient(
+                jnp.sqrt(var) / self.manager.std_factor)
+            rng = self.make_rng("noise")
+            noise = (jax.random.normal(rng, (self.d_goal,)) * std
+                     + mean - 0.5 * mean)
+            x_t = x_t + noise
+        from bmhrl_tpu.ops.segments import frontier_goal
+
+        goal_t = frontier_goal(x_t, label_t, segment_labels.any(axis=1))
+        wf_t = jax.lax.dynamic_slice_in_dim(wf, t, 1, axis=1)
+        mask_row = jax.lax.dynamic_slice_in_dim(masks["C_mask"], t, 1, axis=1)
+        return self.worker.frontier(wf_t, wf, goal_t, mask_row, deterministic)
+
     def inference(self, x, trg, masks):
         return self(x, trg, masks)[0]
 

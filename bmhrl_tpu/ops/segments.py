@@ -27,19 +27,65 @@ def next_boundary(segment_mask: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummin(idx, axis=1, reverse=True)
 
 
-def expand_goals(x: jnp.ndarray, segment_mask: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast each boundary's goal vector back over its segment.
+def _later_rows_have(has_boundary: jnp.ndarray) -> jnp.ndarray:
+    """later[b] = any(has_boundary[b+1:]). has_boundary: (B,) bool."""
+    hb = has_boundary.astype(jnp.int32)
+    suffix = jnp.cumsum(hb[::-1])[::-1]  # inclusive suffix count
+    return (suffix - hb) > 0
 
-    Positions after the last boundary become 0 (the reference zeroes those
-    tails for every batch row except the last — a loop-finalization bug; we
-    zero all rows, the evident intent). ref: model/bm_hrl_agent.py:415-429.
+
+def expand_goals(x: jnp.ndarray, segment_mask: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast each boundary's goal vector back over its segment,
+    reproducing the reference loop's EXACT finalization semantics
+    (model/bm_hrl_agent.py:415-429), verified logit-level against the torch
+    model (tests/test_torch_parity*.py). The in-place loop over
+    ``torch.nonzero`` implies, for a row b:
+
+    - boundary at position j: positions (prev boundary, j] get x[b, j];
+    - positions after the row's LAST boundary are zeroed only when a LATER
+      row also has a boundary (the zeroing happens as a side effect of
+      advancing to that row); the last boundary-row keeps its raw tail;
+    - rows with NO boundary are never written — they keep raw x — EXCEPT
+      row 0, which is fully zeroed whenever any boundary exists in a later
+      row (``old_b`` initializes to 0, so the first advance zeroes row 0);
+    - an all-zero mask returns x unchanged.
 
     x: (B, L, D); segment_mask: (B, L) -> (B, L, D).
     """
     B, L, D = x.shape
-    nb = next_boundary(segment_mask)  # (B, L)
+    m = segment_mask.astype(bool)
+    nb = next_boundary(m)  # (B, L)
     gathered = jnp.take_along_axis(x, jnp.minimum(nb, L - 1)[:, :, None], axis=1)
-    return jnp.where((nb < L)[:, :, None], gathered, 0.0)
+    hb = m.any(axis=1)  # (B,) row has a boundary
+    later = _later_rows_have(hb)
+    is_tail = (nb >= L)[:, :, None]
+    # boundary rows: expanded values; tail zeroed only if a later row has one
+    tail_val = jnp.where(later[:, None, None], jnp.zeros_like(x), x)
+    boundary_rows = jnp.where(is_tail, tail_val, gathered)
+    # boundary-less rows: raw, except the row-0 quirk
+    row0_zeroed = (~hb) & (jnp.arange(B) == 0) & jnp.any(hb)
+    no_boundary_rows = jnp.where(row0_zeroed[:, None, None],
+                                 jnp.zeros_like(x), x)
+    return jnp.where(hb[:, None, None], boundary_rows, no_boundary_rows)
+
+
+def frontier_goal(x_t: jnp.ndarray, label_t: jnp.ndarray,
+                  has_boundary: jnp.ndarray) -> jnp.ndarray:
+    """expand_goals at a single decode-frontier position t.
+
+    Given each row's raw goal ``x_t`` (B, 1, D), its critic label at t, and
+    whether the row has any boundary at positions <= t (INCLUDING t), applies
+    the reference finalization semantics row-wise: a row keeps its raw goal
+    iff t is itself a boundary, OR the row is the last boundary-row (raw
+    tail), OR it is a boundary-less row other than the zeroed row 0."""
+    B = x_t.shape[0]
+    hb = has_boundary.astype(bool)
+    lab = label_t.astype(bool)
+    later = _later_rows_have(hb)
+    any_hb = jnp.any(hb)
+    row0_zeroed = (jnp.arange(B) == 0) & any_hb
+    keep_raw = lab | (hb & ~later) | (~hb & ~row0_zeroed)
+    return jnp.where(keep_raw[:, None, None], x_t, jnp.zeros_like(x_t))
 
 
 def segment_sum_expand(reward: jnp.ndarray, segment_mask: jnp.ndarray) -> jnp.ndarray:

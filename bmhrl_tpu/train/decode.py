@@ -64,6 +64,11 @@ def _decode_loop(
         done = carry[2]
         return (t < max_len) & ~jnp.all(done)
 
+    # frontier mode: stacks run over the full buffer, but the manager
+    # linear / goal-attention query / vocab projection collapse to the one
+    # frontier position (the vocab projection alone is ~25% of decode FLOPs)
+    use_frontier = hasattr(type(model), "decode_frontier")
+
     def body(carry):
         t, trg, done, rng, probs, crit, labels = carry
         # advance the frozen critic with the token at position t
@@ -74,12 +79,18 @@ def _decode_loop(
 
         masks = dict(masks_src)
         masks["C_mask"] = c_mask(trg, pad_idx)
-        preds = model.apply(
-            params, trg, labels, Va, Av, masks, exploration=exploration,
-            method="decode_with_labels", **extra,
-            rngs={"noise": jax.random.fold_in(rng, 2 * t + 1)},
-        )[0]
-        logits_t = preds[jnp.arange(B), t]  # (B, V) log-probs at position t
+        noise_rng = {"noise": jax.random.fold_in(rng, 2 * t + 1)}
+        if use_frontier:
+            logits_t = model.apply(
+                params, trg, labels, Va, Av, masks, t,
+                exploration=exploration, method="decode_frontier", **extra,
+                rngs=noise_rng)
+        else:
+            preds = model.apply(
+                params, trg, labels, Va, Av, masks, exploration=exploration,
+                method="decode_with_labels", **extra, rngs=noise_rng,
+            )[0]
+            logits_t = preds[jnp.arange(B), t]  # (B, V) log-probs at pos t
         rng, sub = jax.random.split(rng)
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
@@ -155,7 +166,7 @@ def decode(
     greedy: bool = True,
     rng: Optional[jax.Array] = None,
     exploration: bool = False,
-    use_fast: bool = False,
+    use_fast: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy/sampled decode. feats: {'rgb','flow','audio'}; V = rgb + flow
     (ref: captioning_bmrl_loops.py:92). Returns (tokens (B, max_len+1),
@@ -166,9 +177,12 @@ def decode(
     Va, Av = model.apply(
         params, V, A, masks_src, method="encode")
     # The O(1)-positions KV-cached loop is token-exact with the full path
-    # (tested) but trades few large ops for many tiny ones; on the current
-    # latency-bound bench chip the full-buffer loop is faster, so fast mode
-    # is opt-in (the right default for larger max_len / local chips).
+    # (tested) and measured faster at every batch size on the tunneled v5e
+    # (B=32: 610 vs 472 clips/s; B=256: 1660 vs 943) — default ON; the
+    # full-buffer frontier loop remains for exploration mode and models
+    # without decode_step.
+    if use_fast is None:
+        use_fast = not exploration
     if use_fast and hasattr(type(model), "decode_step") and not exploration:
         return _decode_loop_fast(
             model, params, Va, Av, masks_src, B, max_len, start_idx,

@@ -270,42 +270,53 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
         lr = lr * lr_scale
         epoch_loss, n_steps = 0.0, 0
 
-        for batch in Prefetcher(train_ds.batches(epoch), cfg.prefetch_batches):
-            if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
-                break
-            rng, step_rng = jax.random.split(rng)
-            bdev = device_batch(batch, mesh)
-            if is_detr:
-                # DETR mode trains the same way in warmstart and RL epochs
-                # (ref: train_rl_captioning_module.py:140-145)
-                roll = sf.detr_rollout(state, bdev, step_rng)
+        # --- one-batch-deep host-score pipeline (SURVEY §7.5) ---------------
+        # The device step for batch t+1 is DISPATCHED (async) before batch t
+        # is scored on host, so reward scoring overlaps device compute:
+        #   warmstart: scoring(t) overlaps warmstart_step(t+1); the cap-param
+        #     stream is unaffected (value nets update one batch late);
+        #   RL: rollout(t+1) is dispatched before update(t) — rollouts run on
+        #     params one optimizer update stale (depth-1 pipeline);
+        #   DETR: scoring + Hungarian matching(t) overlap rollout(t+1).
+        # cfg.rl_pipeline=False restores the reference's sequential order
+        # (ref boundary: epoch_loops/captioning_bmrl_loops.py:287-289).
+        loss_terms: List = []  # device scalars; fetched once per epoch
+
+        def process(item):
+            """Host-score the pending batch and run its (score-dependent)
+            update against the CURRENT state."""
+            nonlocal state
+            kind, batch, bdev, payload, step_rng = item
+            if kind == "warmstart":
+                aux = payload
+                with timer.phase("host_score"):
+                    w, m, _ = scorer.delta_both(
+                        np.asarray(aux["argmax"]), batch["captions"],
+                        np.asarray(aux["token_mask"]), np.asarray(aux["seg"]))
+                with timer.phase("value_update"):
+                    state, _vm = sf.value_warmstart_step(
+                        state, aux["wf"], aux["mf"], jnp.asarray(w),
+                        jnp.asarray(m), aux["token_mask"], aux["seg"])
+            elif kind == "detr":
+                roll = payload
                 sampled = np.asarray(roll["sampled"])
-                score, _ = scorer.delta_worker(sampled, batch["captions"])
+                with timer.phase("host_score"):
+                    score, _ = scorer.delta_worker(sampled, batch["captions"])
                 if cfg.with_reinforce:
                     state, metrics = sf.reinforce_update(
                         state, bdev, step_rng, lr, roll["sampled"],
                         jnp.asarray(score))
                 else:
-                    tc = sf.match_targets(roll["pred_classes"], roll["x_idx"])
+                    with timer.phase("host_match"):
+                        tc = sf.match_targets(roll["pred_classes"],
+                                              roll["x_idx"])
                     state, metrics = sf.detr_update(
                         state, bdev, step_rng, lr, roll["sampled"],
                         jnp.asarray(score), jnp.asarray(tc))
-                epoch_loss += float(metrics["loss"])
-            elif is_warmstart:
-                state, metrics, aux = sf.warmstart_step(
-                    state, bdev, step_rng, lr)
-                w, m, _ = scorer.delta_both(
-                    np.asarray(aux["argmax"]), batch["captions"],
-                    np.asarray(aux["token_mask"]), np.asarray(aux["seg"]))
-                state, _vm = sf.value_warmstart_step(
-                    state, aux["wf"], aux["mf"], jnp.asarray(w),
-                    jnp.asarray(m), aux["token_mask"], aux["seg"])
-                epoch_loss += float(metrics["loss"])
-            else:
-                # pipelined RL: rollout this batch, then update the previous
-                with timer.phase("rollout"):
-                    roll = sf.rl_rollout(state, bdev, step_rng, train_worker)
-                    sampled = np.asarray(roll["sampled"])
+                loss_terms.append(metrics["loss"])
+            else:  # rl
+                roll, step_i = payload
+                sampled = np.asarray(roll["sampled"])
                 with timer.phase("host_score"):
                     if train_worker:
                         score, _ = scorer.delta_worker(sampled,
@@ -319,8 +330,8 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                     state, metrics = sf.rl_update(
                         state, bdev, step_rng, lr, roll,
                         jnp.asarray(score), train_worker)
-                epoch_loss += float(metrics["loss"])
-                if n_steps % 100 == 0:
+                loss_terms.append(metrics["loss"])
+                if step_i % 100 == 0:
                     # periodic sample log (ref: log_iteration,
                     # captioning_bmrl_loops.py:459-469, every 100 iters)
                     itos = train_ds.train_vocab.itos
@@ -328,7 +339,40 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                     log_stderr(f"Pred[0]: {hyp}")
                     log_stderr(f"Trg[0]: {batch['captions'][0]}")
                     log_stderr(f"Score[0] sum: {float(np.sum(score[0])):.3f}")
+
+        pending = None
+        for batch in Prefetcher(train_ds.batches(epoch), cfg.prefetch_batches):
+            if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            bdev = device_batch(batch, mesh)
+            if is_detr:
+                # DETR mode trains the same way in warmstart and RL epochs
+                # (ref: train_rl_captioning_module.py:140-145)
+                with timer.phase("rollout"):
+                    roll = sf.detr_rollout(state, bdev, step_rng)
+                item = ("detr", batch, bdev, roll, step_rng)
+            elif is_warmstart:
+                with timer.phase("warmstart"):
+                    state, metrics, aux = sf.warmstart_step(
+                        state, bdev, step_rng, lr)
+                loss_terms.append(metrics["loss"])
+                item = ("warmstart", batch, bdev, aux, step_rng)
+            else:
+                with timer.phase("rollout"):
+                    roll = sf.rl_rollout(state, bdev, step_rng, train_worker)
+                item = ("rl", batch, bdev, (roll, n_steps), step_rng)
+            if cfg.rl_pipeline:
+                if pending is not None:
+                    process(pending)
+                pending = item
+            else:
+                process(item)
             n_steps += 1
+        if pending is not None:
+            process(pending)
+        epoch_loss = float(np.sum([np.asarray(x) for x in loss_terms])) \
+            if loss_terms else 0.0
 
         logger.add_scalar("debug/train_loss_epoch",
                           epoch_loss / max(n_steps, 1), epoch)

@@ -25,8 +25,10 @@ Deliberately reproduced reference quirks (they define the training signal):
   (cider.py:101-104 vs batched_meteor.py:91-94, bleu.py:80-83); the CIDEr
   manager forces a boundary at the reference length (cider.py:72-80).
 
-All functions take/return numpy; they run inside jax.pure_callback from the
-jitted RL step (train/steps.py).
+All functions take/return numpy; they run on the host BETWEEN the jitted
+rollout and update dispatches (the axon TPU runtime does not support jax
+host callbacks) — the training loop pipelines them behind the next batch's
+already-dispatched device step (train/loop.py).
 """
 from __future__ import annotations
 

@@ -8,8 +8,10 @@ toward intent (the manager RL branch is implemented instead of raising).
 Design (three-phase RL step):
   1. ``rl_rollout`` (jit): forward, sample, value estimate — no grads;
   2. host scoring: the string-world reward scorer consumes sampled ids
-     (the axon TPU runtime does not support jax host callbacks, and this
-     split is what lets scoring of batch t overlap the rollout of batch t+1);
+     (the axon TPU runtime does not support jax host callbacks). The split
+     is what enables the loop's one-batch-deep pipeline: rollout t+1 is
+     dispatched before update t, so scoring batch t overlaps device compute
+     (train/loop.py; cfg.rl_pipeline);
   3. ``rl_update`` (jit): re-runs the forward with the SAME rngs (identical
      logits), builds the biased-KL amplitude from the host score, updates the
      captioner through the phase-gated GatedAdam, then the active value net.

@@ -128,6 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.profiler trace dir (first epoch)")
     p.add_argument("--no_pallas_attention", dest="use_pallas_attention",
                    action="store_false", default=True)
+    p.add_argument("--no_rl_pipeline", dest="rl_pipeline",
+                   action="store_false", default=True,
+                   help="disable the one-batch-deep host-score pipeline "
+                        "(restores the reference's strictly sequential "
+                        "rollout -> score -> update order)")
     p.set_defaults(to_log=True)
     return p
 

@@ -8,17 +8,22 @@ from bmhrl_tpu.ops import segments as S
 
 
 def ref_expand_goals(x, mask):
-    """Loop semantics with the intended tail-zeroing for every row."""
+    """DIRECT transcription of the reference's in-place loop
+    (bm_hrl_agent.py:415-429), including its finalization quirks: the tail
+    after a row's last boundary is zeroed only when a later row also has a
+    boundary; boundary-less rows keep raw x (except row 0, which the
+    ``old_b = 0`` initialization zeroes whenever a later row has the first
+    boundary); an all-zero mask is a no-op."""
     x = x.copy()
-    B, L, D = x.shape
-    for b in range(B):
-        old_l = 0
-        for l in range(L):
-            if mask[b, l]:
-                goal = x[b, l].copy()
-                x[b, old_l:l + 1] = goal
-                old_l = l + 1
-        x[b, old_l:] = 0
+    old_l = old_b = 0
+    for b, l in np.argwhere(mask):  # torch.nonzero order (row-major)
+        goal = x[b, l].copy()
+        if b != old_b:
+            x[old_b, old_l:] = 0
+            old_l = 0
+            old_b = b
+        x[b, old_l:l + 1] = goal
+        old_l = l + 1
     return x
 
 
@@ -90,6 +95,39 @@ def test_expand_goals(rng):
     np.testing.assert_allclose(got, ref_expand_goals(x, m), rtol=1e-6)
 
 
+def test_expand_goals_finalization_quirks(rng):
+    """The reference loop's side effects: boundary-less rows keep raw x
+    (except row 0), the LAST boundary-row keeps its raw tail, earlier
+    boundary-rows get zeroed tails."""
+    B, L, D = 4, 6, 3
+    x = rng.randn(B, L, D).astype(np.float32)
+    m = np.zeros((B, L), np.int32)
+    m[1, 2] = 1  # boundary row, later boundary exists -> tail zeroed
+    m[3, 1] = 1  # LAST boundary row -> raw tail kept
+    # row 0: boundary-less, zeroed by the old_b=0 quirk; row 2: raw
+    got = np.asarray(S.expand_goals(x, m))
+    ref = ref_expand_goals(x, m)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    assert (ref[0] == 0).all()
+    np.testing.assert_allclose(ref[2], x[2])
+    assert (ref[1, 3:] == 0).all()
+    np.testing.assert_allclose(ref[3, 2:], x[3, 2:])
+
+
+def test_frontier_goal_matches_expand_goals(rng):
+    """frontier_goal(x_t, label_t, hb) == expand_goals row t on a buffer
+    whose labels beyond t are zero (the decode invariant)."""
+    B, L, D = 4, 8, 3
+    x = rng.randn(B, L, D).astype(np.float32)
+    for t in (0, 3, 7):
+        m = random_mask(rng, B, L)
+        m[:, t + 1:] = 0
+        full = np.asarray(S.expand_goals(x, m))
+        got = np.asarray(S.frontier_goal(
+            x[:, t:t + 1], m[:, t], m[:, :t + 1].any(axis=1)))
+        np.testing.assert_allclose(got[:, 0], full[:, t], rtol=1e-6)
+
+
 def test_segment_sum_expand(rng):
     B, L = 3, 11
     r = rng.randn(B, L).astype(np.float32)
@@ -129,7 +167,8 @@ def test_edge_no_boundaries():
     assert np.asarray(S.segment_sum_expand(r, m)).sum() == 0
     assert np.asarray(S.discounted_segment_return(r, m, 0.9)).sum() == 0
     x = np.ones((2, 6, 3), np.float32)
-    assert np.asarray(S.expand_goals(x, m)).sum() == 0
+    # all-zero mask: the reference loop never runs -> x is returned unchanged
+    np.testing.assert_allclose(np.asarray(S.expand_goals(x, m)), x)
 
 
 def test_edge_all_boundaries():
