@@ -114,6 +114,11 @@ class Config:
     tIoUs: Sequence[float] = (0.3, 0.5, 0.7, 0.9)
     max_prop_per_vid: int = 100
     prop_pred_path: Optional[str] = None
+    # METEOR flavor for eval: "nltk" (RL-reward parity) or "meteor15"
+    # (Java meteor-1.5.jar parity; supply the jar's paraphrase-en.gz via
+    # meteor_paraphrase_path to enable its paraphrase stage)
+    meteor_preset: str = "nltk"
+    meteor_paraphrase_path: Optional[str] = None
     avail_mp4_path: str = "./data/available_mp4.txt"
 
     # logging ----------------------------------------------------------------

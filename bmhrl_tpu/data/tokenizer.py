@@ -12,9 +12,26 @@ from __future__ import annotations
 import re
 from typing import List
 
-# suffix contractions spaCy splits off as separate tokens
+# suffix contractions spaCy splits off as separate tokens (ASCII ' and
+# typographic ’ apostrophes — spaCy's exceptions cover both)
 _CONTRACTIONS = ("n't", "'s", "'re", "'ve", "'ll", "'d", "'m", "'S", "'RE",
-                 "'VE", "'LL", "'D", "'M", "N'T")
+                 "'VE", "'LL", "'D", "'M", "N'T",
+                 "n’t", "’s", "’re", "’ve", "’ll", "’d", "’m", "N’T")
+
+# spaCy English tokenizer_exceptions: multi-part splits keyed lowercase
+# (spacy/lang/en/tokenizer_exceptions.py); surface case is preserved by
+# slicing the original token at the recorded lengths.
+_EXC_SPLITS = {
+    "cannot": (3, 3),   # can + not
+    "gonna": (3, 2),    # gon + na
+    "gotta": (3, 2),    # got + ta
+}
+
+# abbreviations spaCy keeps whole including the trailing period
+_EXC_KEEP = {
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "st.", "jr.", "sr.", "vs.",
+    "inc.", "ltd.", "co.", "gen.", "rep.", "sen.", "gov.", "etc.",
+}
 
 _PREFIX_PUNCT = re.compile(r"""^[\(\)\[\]\{\}<>«»"'`“”‘’„‚#\$£€¥%&\*\+,\-–—./:;=?@^_~|!…]""")
 _SUFFIX_PUNCT = re.compile(r"""[\(\)\[\]\{\}<>«»"'`“”‘’„‚#\$£€¥%&\*\+,\-–—/:;=?@^_~|!…]$|\.$""")
@@ -26,6 +43,15 @@ _NUM_RE = re.compile(r"^[\d.,]+$")
 def _split_token(tok: str, out: List[str]) -> None:
     if not tok:
         return
+    low = tok.lower()
+    if low in _EXC_KEEP:
+        out.append(tok)
+        return
+    if low in _EXC_SPLITS:
+        a, _ = _EXC_SPLITS[low]
+        out.append(tok[:a])
+        out.append(tok[a:])
+        return
     if _ALL_PUNCT.match(tok) or _NUM_RE.match(tok):
         out.append(tok)
         return
@@ -36,7 +62,6 @@ def _split_token(tok: str, out: List[str]) -> None:
         _split_token(tok[m.end():], out)
         return
     # contraction suffixes
-    low = tok.lower()
     for c in _CONTRACTIONS:
         cl = c.lower()
         if low.endswith(cl) and len(tok) > len(cl):

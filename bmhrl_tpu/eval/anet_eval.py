@@ -49,6 +49,7 @@ class ANETCaptionsEvaluator:
         verbose: bool = False,
         only_proposals: bool = False,
         meteor_preset: str = "nltk",
+        meteor_paraphrase_path=None,
     ):
         if not tious:
             raise ValueError("need at least one tIoU")
@@ -69,7 +70,8 @@ class ANETCaptionsEvaluator:
         self.tokenizer = PTBTokenizer()
         self.scorers = [] if only_proposals else [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(meteor_preset), "METEOR"),
+            (Meteor(meteor_preset, paraphrase_path=meteor_paraphrase_path),
+             "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]
@@ -182,11 +184,13 @@ def calculate_metrics(
     max_prop_per_vid: int = 100,
     verbose: bool = True,
     meteor_preset: str = "nltk",
+    meteor_paraphrase_path=None,
 ) -> Dict:
     """ref: epoch_loops/validation_loops.py:161-183."""
     ev = ANETCaptionsEvaluator(
         reference_paths, submission, tious, max_prop_per_vid,
-        verbose=verbose, meteor_preset=meteor_preset)
+        verbose=verbose, meteor_preset=meteor_preset,
+        meteor_paraphrase_path=meteor_paraphrase_path)
     ev.evaluate()
     metrics: Dict = {}
     for i, tiou in enumerate(tious):

@@ -2,22 +2,30 @@
 (the only non-Python execution in the reference system;
 ref: evaluation/evaluate.py:19,61, SURVEY §2.9).
 
-Algorithm: staged unigram alignment (exact -> stem -> WordNet synonym),
-maximizing matches then minimizing crossings per stage; harmonic-mean
-F with fragmentation penalty.
+Algorithm: staged alignment (exact -> stem -> WordNet synonym ->
+paraphrase phrases), maximizing matches then minimizing crossings per
+stage; harmonic-mean F with fragmentation penalty.
 
 Two parameter presets:
 - "nltk":    alpha=0.9, beta=3, gamma=0.5, uniform stage weights — matches
              nltk.translate.meteor_score (what the RL reward used,
              ref: metrics/batched_meteor.py:76).
-- "meteor15": alpha=0.85, beta=0.2, gamma=0.6, stage weights (1.0, 0.6, 0.8),
-             content/function word delta=0.75 — the Java METEOR 1.5 English
-             defaults, minus its paraphrase-table stage (data unavailable
-             offline; scores are slightly conservative vs the jar).
+- "meteor15": alpha=0.85, beta=0.2, gamma=0.6, stage weights
+             (1.0, 0.6, 0.8, 0.6), content/function word delta=0.75 — the
+             Java METEOR 1.5 English defaults. The paraphrase stage
+             activates when a paraphrase-table file is supplied via
+             ``paraphrase_path`` (the jar ships ``data/paraphrase-en.gz``,
+             which is not redistributable here — parity with the published
+             10.80 METEOR is then a data problem, not a code gap). Without
+             a table, scores are slightly conservative vs the jar.
+
+Paraphrase table format (auto-detected, gzip or plain text): each line is a
+phrase pair, either ``|||``-separated (numeric weight fields are ignored, so
+the Meteor/PPDB layouts both parse) or TAB-separated two-column.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 # METEOR 1.5 English function-word list (common closed-class words)
 FUNCTION_WORDS = {
@@ -54,17 +62,80 @@ def _get_wordnet():
         return None
 
 
+class ParaphraseTable:
+    """Phrase-pair lookup for the METEOR 1.5 paraphrase stage.
+
+    Maps a space-joined phrase to the set of phrases it may match. Pairs
+    are stored symmetrically. ``max_len`` is the longest phrase (in words)
+    on either side, bounding the span search during alignment."""
+
+    def __init__(self, path: str):
+        self.table: Dict[str, Set[str]] = {}
+        self.max_len = 1
+        opener = open
+        if path.endswith(".gz"):
+            import gzip
+
+            opener = gzip.open
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                pair = self._parse_line(line)
+                if pair is None:
+                    continue
+                a, b = pair
+                self.table.setdefault(a, set()).add(b)
+                self.table.setdefault(b, set()).add(a)
+                self.max_len = max(self.max_len,
+                                   a.count(" ") + 1, b.count(" ") + 1)
+
+    @staticmethod
+    def _parse_line(line: str) -> Optional[Tuple[str, str]]:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            return None
+        if "|||" in line:
+            fields = [f.strip() for f in line.split("|||")]
+            texts = []
+            for f in fields:
+                if not f:
+                    continue
+                try:  # drop pure-numeric weight fields
+                    float(f)
+                except ValueError:
+                    texts.append(f)
+            if len(texts) < 2:
+                return None
+            a, b = texts[0].lower(), texts[1].lower()
+        elif "\t" in line:
+            parts = line.split("\t")
+            if len(parts) < 2:
+                return None
+            a, b = parts[0].strip().lower(), parts[1].strip().lower()
+        else:
+            return None
+        if not a or not b or a == b:
+            return None
+        return a, b
+
+    def matches(self, phrase: str) -> Set[str]:
+        return self.table.get(phrase, set())
+
+
 class MeteorScorer:
-    def __init__(self, preset: str = "nltk"):
+    def __init__(self, preset: str = "nltk",
+                 paraphrase_path: Optional[str] = None):
         self.stemmer = _Stemmer()
         self.wordnet = _get_wordnet()
+        self.paraphrases = (ParaphraseTable(paraphrase_path)
+                            if paraphrase_path else None)
         if preset == "nltk":
             self.alpha, self.beta, self.gamma = 0.9, 3.0, 0.5
-            self.stage_weights = (1.0, 1.0, 1.0)
+            self.stage_weights = (1.0, 1.0, 1.0, 1.0)
             self.delta = None
         elif preset == "meteor15":
             self.alpha, self.beta, self.gamma = 0.85, 0.2, 0.6
-            self.stage_weights = (1.0, 0.6, 0.8)
+            # METEOR 1.5 English weights: exact, stem, synonym, paraphrase
+            self.stage_weights = (1.0, 0.6, 0.8, 0.6)
             self.delta = 0.75
         else:
             raise ValueError(preset)
@@ -122,27 +193,65 @@ class MeteorScorer:
         matches.sort()
         return matches
 
+    def align_spans(self, hyp: Sequence[str], ref: Sequence[str]
+                    ) -> List[Tuple[int, int, int, int, int]]:
+        """Full staged alignment incl. the paraphrase phrase stage; returns
+        [(h_start, h_len, r_start, r_len, stage)] sorted by hyp position.
+        Word stages (0-2) yield length-1 spans; the paraphrase stage (3)
+        may match multi-word spans of different lengths."""
+        word = self.align(hyp, ref)
+        spans = [(i, 1, j, 1, s) for i, j, s in word]
+        if self.paraphrases is None:
+            return spans
+        h_free = [True] * len(hyp)
+        r_free = [True] * len(ref)
+        for i, _, j, _, _ in spans:
+            h_free[i] = False
+            r_free[j] = False
+        max_len = min(self.paraphrases.max_len, max(len(hyp), len(ref)))
+        # longest hypothesis spans first (METEOR prefers longer phrase
+        # matches); within a length, left to right
+        for hl in range(max_len, 0, -1):
+            for hs in range(0, len(hyp) - hl + 1):
+                if not all(h_free[hs:hs + hl]):
+                    continue
+                cands = self.paraphrases.matches(" ".join(hyp[hs:hs + hl]))
+                if not cands:
+                    continue
+                done = False
+                for rl in range(max_len, 0, -1):
+                    for rs in range(0, len(ref) - rl + 1):
+                        if not all(r_free[rs:rs + rl]):
+                            continue
+                        if " ".join(ref[rs:rs + rl]) in cands:
+                            spans.append((hs, hl, rs, rl, 3))
+                            for x in range(hs, hs + hl):
+                                h_free[x] = False
+                            for x in range(rs, rs + rl):
+                                r_free[x] = False
+                            done = True
+                            break
+                    if done:
+                        break
+        spans.sort()
+        return spans
+
     @staticmethod
-    def _chunks(matches: List[Tuple[int, int, int]]) -> int:
-        if not matches:
+    def _chunks(spans: List[Tuple[int, int, int, int, int]]) -> int:
+        if not spans:
             return 0
         chunks = 1
-        for a, b in zip(matches, matches[1:]):
-            if not (b[0] == a[0] + 1 and b[1] == a[1] + 1):
+        for a, b in zip(spans, spans[1:]):
+            if not (b[0] == a[0] + a[1] and b[2] == a[2] + a[3]):
                 chunks += 1
         return chunks
 
-    def _weighted_count(self, indices, words, stages) -> float:
-        """Stage- and content-weighted match mass (delta weighting only in
-        the meteor15 preset)."""
-        total = 0.0
-        for idx, stage in zip(indices, stages):
-            w = self.stage_weights[stage]
-            if self.delta is not None:
-                is_func = words[idx] in FUNCTION_WORDS
-                w *= (1.0 - self.delta) if is_func else self.delta
-            total += w
-        return total
+    def _word_weight(self, word: str, stage: int) -> float:
+        w = self.stage_weights[stage]
+        if self.delta is not None:
+            is_func = word in FUNCTION_WORDS
+            w *= (1.0 - self.delta) if is_func else self.delta
+        return w
 
     def _weighted_len(self, words) -> float:
         if self.delta is None:
@@ -155,22 +264,28 @@ class MeteorScorer:
         return max((self._single(hyp, r) for r in refs), default=0.0)
 
     def _single(self, hyp: Sequence[str], ref: Sequence[str]) -> float:
-        matches = self.align(hyp, ref)
-        m = len(matches)
-        if m == 0 or not hyp or not ref:
+        spans = self.align_spans(hyp, ref)
+        if not spans or not hyp or not ref:
             return 0.0
-        h_idx = [a for a, _, _ in matches]
-        r_idx = [b for _, b, _ in matches]
-        stages = [s for _, _, s in matches]
-        p_num = self._weighted_count(h_idx, list(hyp), stages)
-        r_num = self._weighted_count(r_idx, list(ref), stages)
+        p_num = r_num = 0.0
+        m_hyp = m_ref = 0
+        for hs, hl, rs, rl, stage in spans:
+            m_hyp += hl
+            m_ref += rl
+            for x in range(hs, hs + hl):
+                p_num += self._word_weight(hyp[x], stage)
+            for x in range(rs, rs + rl):
+                r_num += self._word_weight(ref[x], stage)
         P = p_num / max(self._weighted_len(list(hyp)), 1e-9)
         R = r_num / max(self._weighted_len(list(ref)), 1e-9)
         if P + R == 0:
             return 0.0
         a = self.alpha
         fmean = P * R / (a * P + (1 - a) * R)
-        frag = self._chunks(matches) / m
+        # fragmentation over the average matched-word count (METEOR 1.5
+        # counts chunks against avg(m_hyp, m_ref); equals len(matches) when
+        # all spans are single words, i.e. the no-paraphrase presets)
+        frag = self._chunks(spans) / (0.5 * (m_hyp + m_ref))
         penalty = self.gamma * (frag ** self.beta)
         return (1.0 - penalty) * fmean
 
@@ -179,8 +294,9 @@ class Meteor:
     """pycocoevalcap-compatible wrapper: compute_score(gts, res) where values
     are lists of pre-tokenized (space-joined) caption strings."""
 
-    def __init__(self, preset: str = "nltk"):
-        self.scorer = MeteorScorer(preset)
+    def __init__(self, preset: str = "nltk",
+                 paraphrase_path: Optional[str] = None):
+        self.scorer = MeteorScorer(preset, paraphrase_path=paraphrase_path)
 
     def method(self):
         return "METEOR"

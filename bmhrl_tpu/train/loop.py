@@ -112,7 +112,9 @@ def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
     else:
         refs, tious = [reference_path], [0.5]
     metrics = calculate_metrics(
-        refs, predictions, tious, cfg.max_prop_per_vid)
+        refs, predictions, tious, cfg.max_prop_per_vid,
+        meteor_preset=getattr(cfg, "meteor_preset", "nltk"),
+        meteor_paraphrase_path=getattr(cfg, "meteor_paraphrase_path", None))
     avg = metrics["Average across tIoUs"]
     if logger is not None:
         for m in ("METEOR", "Bleu_4", "Bleu_3", "Precision", "Recall"):

@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
         "./data/vatex_no_missings.json", "./data/msrvtt_no_missings.json"])
     p.add_argument("--tIoUs", type=float, nargs="+", default=[0.3, 0.5, 0.7, 0.9])
     p.add_argument("--max_prop_per_vid", type=int, default=100)
+    p.add_argument("--meteor_preset", type=str, default="nltk",
+                   choices=["nltk", "meteor15"])
+    p.add_argument("--meteor_paraphrase_path", type=str, default=None,
+                   help="METEOR 1.5 paraphrase table (e.g. the jar's "
+                        "paraphrase-en.gz) to enable the paraphrase stage")
     # logging
     p.add_argument("--log_dir", type=str, default="./log/")
     p.add_argument("--dont_log", dest="to_log", action="store_false")

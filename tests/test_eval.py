@@ -28,6 +28,37 @@ def test_meteor_perfect_and_zero():
     assert s > 0.5
 
 
+def test_meteor_paraphrase_stage(tmp_path):
+    """With a paraphrase table supplied, the meteor15 preset matches phrase
+    pairs the word stages cannot (METEOR 1.5 stage 4); without the table the
+    score is strictly lower. Both Meteor-jar '|||' and TSV layouts parse."""
+    table = tmp_path / "paraphrase-en.txt"
+    table.write_text(
+        "jumps over ||| leaps across\n"
+        "0.35 ||| automobile ||| car\n"          # numeric weight ignored
+        "sprinting\tdashing quickly\n"           # TSV, 1-to-2 words
+        "# comment line\n")
+    with_p = MeteorScorer("meteor15", paraphrase_path=str(table))
+    without = MeteorScorer("meteor15")
+
+    hyp = "the dog jumps over the fence".split()
+    ref = "the dog leaps across the fence".split()
+    s_with, s_wo = with_p._single(hyp, ref), without._single(hyp, ref)
+    assert s_with > s_wo
+    # the paraphrase match is recorded as a span match at stage 3
+    spans = with_p.align_spans(hyp, ref)
+    assert (2, 2, 2, 2, 3) in spans
+
+    # unequal-length spans (1 hyp word <-> 2 ref words)
+    hyp2, ref2 = "a man sprinting".split(), "a man dashing quickly".split()
+    assert with_p._single(hyp2, ref2) > without._single(hyp2, ref2)
+    # numeric-weight '|||' rows parse into the table
+    assert "car" in with_p.paraphrases.matches("automobile")
+    # no table -> word-stage behavior is unchanged
+    assert without.align_spans(hyp, ref) == [
+        (i, 1, j, 1, s) for i, j, s in without.align(hyp, ref)]
+
+
 def test_meteor_vs_nltk():
     """Our nltk preset must track nltk.single_meteor_score closely."""
     import nltk.translate.meteor_score as nms
