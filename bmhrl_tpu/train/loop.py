@@ -176,6 +176,13 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                     CaptioningDataset(cfg, phase, vocab=train_ds.train_vocab))
         except Exception as e:  # missing assets are non-fatal (subset runs)
             log_stderr(f"skipping {phase}: {e}")
+    # predicted-proposals eval (ref: validation_loops.py:34-49 routing; the
+    # reference dataset supports the phase at captioning_dataset.py:358-359
+    # but its orchestrator never constructs it — intent fix, eval mode only)
+    if (cfg.mode == "eval" and cfg.val_prop_meta_path
+            and os.path.exists(cfg.val_prop_meta_path)):
+        val_datasets.append(
+            CaptioningDataset(cfg, "learned_props", vocab=train_ds.train_vocab))
 
     model = build_model(cfg, train_ds.trg_voc_size)
     wv_model = BMWorkerValueFunction(cfg.d_model_caps, cfg.dout_p)

@@ -50,3 +50,38 @@ class ScalarLogger:
             self.fh.close()
         if self.tb is not None:
             self.tb.close()
+
+
+def cleanup_stale_run_dirs(parent_dir: str, verbose: bool = False) -> int:
+    """Delete experiment dirs that only ever logged a bare event file —
+    aborted runs that produced no checkpoints, submissions or scalars.
+
+    Intent-fixed port of the reference's ``utilities/folder_cleanup.py``
+    (which ran on import and keyed on a single ``events.out.tfevents.*``
+    file); here it's an explicit callable and also treats a lone
+    ``scalars.jsonl`` as stale (our logger always writes one). Returns the
+    number of directories removed."""
+    import shutil
+
+    stale_names = ("scalars.jsonl",)
+    removed = 0
+    if not os.path.isdir(parent_dir):
+        return 0
+    for name in sorted(os.listdir(parent_dir)):
+        folder = os.path.join(parent_dir, name)
+        if not os.path.isdir(folder):
+            continue
+        files = os.listdir(folder)
+        if len(files) == 1 and (
+                files[0].startswith("events.out.tfevents.")
+                or files[0] in stale_names):
+            try:
+                shutil.rmtree(folder)
+                removed += 1
+                if verbose:
+                    log_stderr(f"removed stale run dir {folder}")
+            except OSError as e:
+                log_stderr(f"Error: {folder} : {e.strerror}")
+    if verbose:
+        log_stderr(str(removed))
+    return removed

@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
         "./data/vatex_no_missings.json", "./data/msrvtt_no_missings.json"])
     p.add_argument("--tIoUs", type=float, nargs="+", default=[0.3, 0.5, 0.7, 0.9])
     p.add_argument("--max_prop_per_vid", type=int, default=100)
+    p.add_argument("--prop_pred_path", type=str, default=None,
+                   help="path to a .json file with proposal predictions")
+    p.add_argument("--val_prop_meta_path", type=str, default=None,
+                   help="predicted-proposals meta TSV; with --mode eval "
+                        "adds the learned_props phase (full tIoU sweep "
+                        "over all reference files)")
     p.add_argument("--meteor_preset", type=str, default="nltk",
                    choices=["nltk", "meteor15"])
     p.add_argument("--meteor_paraphrase_path", type=str, default=None,
@@ -163,7 +169,13 @@ def main(argv=None):
     cfg = create_config(argv)
     from bmhrl_tpu.train.loop import train_rl_cap
 
-    return train_rl_cap(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
+    out = train_rl_cap(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
+    if cfg.mode == "eval" and isinstance(out, dict):
+        for phase, metrics in out.items():
+            line = "  ".join(f"{k}={v * 100:.2f}" for k, v in metrics.items()
+                             if isinstance(v, float))
+            print(f"[eval] {phase}: {line}")
+    return out
 
 
 if __name__ == "__main__":

@@ -103,3 +103,41 @@ def test_eval_mode(tiny_data):
     results = train_rl_cap(cfg)
     assert "val_1" in results
     assert "METEOR" in results["val_1"]
+
+
+def test_eval_learned_props(tiny_data):
+    """Predicted-proposals eval: --mode eval + val_prop_meta_path routes the
+    learned_props phase through the FULL tIoU sweep over all reference files
+    (ref: validation_loops.py:34-49; VERDICT missing #4)."""
+    import dataclasses
+
+    root = tiny_data["root"]
+    # predicted segments: perturbed copies of the GT segments
+    prop_csv = root / "val_props.csv"
+    rows = [("v_a", "placeholder", 0.5, 5.5, 10.0),
+            ("v_a", "placeholder", 4.0, 9.5, 10.0),
+            ("v_b", "placeholder", 0.0, 7.0, 8.0)]
+    with open(prop_csv, "w") as f:
+        f.write("video_id\tcaption\tstart\tend\tduration\tphase\tidx\n")
+        for i, (v, c, s, e, d) in enumerate(rows):
+            f.write(f"{v}\t{c}\t{s}\t{e}\t{d}\tlearned_props\t{i}\n")
+    cfg = Config(
+        train_meta_path=str(tiny_data["train"]),
+        val_1_meta_path=str(tiny_data["val"]),
+        vatex_meta_path="/nonexistent", msrvtt_meta_path="/nonexistent",
+        video_features_path=str(tiny_data["vdir"]),
+        audio_features_path=str(tiny_data["adir"]),
+        reference_paths=(str(tiny_data["gt"]),) * 4,
+        rl_critic_path="/nonexistent", mode="eval",
+        val_prop_meta_path=str(prop_csv),
+        B=4, mesh_shape=(1, 1),
+        d_model=32, d_model_caps=16, rl_att_heads=2, rl_att_layers=1,
+        rl_ff_c=32, rl_ff_v=32, rl_ff_a=16, rl_goal_d=8,
+        max_len=12, caption_buckets=(16,), video_buckets=(16,),
+        audio_buckets=(64,), compute_dtype="float32", to_log=False, seed=0)
+    results = train_rl_cap(cfg)
+    assert "learned_props" in results
+    lp = results["learned_props"]
+    # full sweep averages include captioning + detection metrics
+    for m in ("METEOR", "Precision", "Recall"):
+        assert m in lp and np.isfinite(lp[m])

@@ -1,0 +1,69 @@
+"""Regression for the end-to-end learning proof: the production training
+procedure must learn the synthetic 6-class captioning task (class-signature
+features -> fixed captions) well above the untrained baseline on HELD-OUT
+clips. This is the committed, reproducible form of the round-1 claim
+(METEOR 23.7 -> 56.1 -> 99.8 at full size; ROUND1_NOTES.md) — here run at
+reduced dims/epochs so it regression-checks training math on CPU. The
+full-size curve: ``python -m cli.synthetic_proof --out DIR --epochs 24
+--warmstart 8``."""
+import numpy as np
+
+from cli.synthetic_proof import build_config
+from bmhrl_tpu.utils.synthetic import CLASSES, generate
+
+
+def test_generator_layout(tmp_path):
+    paths = generate(str(tmp_path), clips_per_class=2, val_per_class=1,
+                     seed=3)
+    import csv
+    import json
+    import os
+
+    train = list(csv.DictReader(open(paths["train"]), delimiter="\t"))
+    val = list(csv.DictReader(open(paths["val_1"]), delimiter="\t"))
+    assert len(train) == 2 * len(CLASSES) and len(val) == len(CLASSES)
+    assert {r["caption"] for r in train} == set(CLASSES)
+    # held-out: no video id overlap
+    assert not {r["video_id"] for r in train} & {r["video_id"] for r in val}
+    refs = json.load(open(paths["ref"]))
+    assert set(refs) == {r["video_id"] for r in val}
+    row = train[0]
+    rgb = np.load(os.path.join(paths["video_features_path"],
+                               row["video_id"] + "_rgb.npy"))
+    aud = np.load(os.path.join(paths["audio_features_path"],
+                               row["video_id"] + ".npy"))
+    assert rgb.shape[1] == 1024 and aud.shape[1] == 128
+    # same-class clips share a signature: mean features correlate
+    same = [r["video_id"] for r in train if r["caption"] == row["caption"]]
+    other = [r["video_id"] for r in train if r["caption"] != row["caption"]]
+    m = lambda v: np.load(os.path.join(  # noqa: E731
+        paths["video_features_path"], v + "_rgb.npy")).mean(0)
+    cos = lambda a, b: float(  # noqa: E731
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos(m(same[0]), m(same[1])) > 0.7 > cos(m(same[0]), m(other[0]))
+
+
+def test_learning_proof_small(tmp_path):
+    """Warmstart + RL alternation on the synthetic task lifts held-out
+    METEOR far above the untrained model's score."""
+    import argparse
+    import dataclasses
+
+    out = str(tmp_path)
+    paths = generate(out, clips_per_class=6, val_per_class=2,
+                     noise=0.5, seed=0)
+    args = argparse.Namespace(
+        out=out, small=True, B=12, mesh_data=1, scorer="CIDER",
+        epochs=5, warmstart=2, eval_from=0, seed=0)
+    cfg = build_config(paths, args)
+
+    from bmhrl_tpu.train.loop import train_rl_cap
+
+    # untrained baseline: eval-only on the same vocab/model init
+    cfg_eval = dataclasses.replace(cfg, mode="eval", to_log=False)
+    base = train_rl_cap(cfg_eval)["val_1"]["METEOR"]
+
+    result = train_rl_cap(cfg)
+    best = result["best_metric"]
+    assert best > base + 0.10, (base, best)
+    assert best > 0.25, best

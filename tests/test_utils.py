@@ -176,3 +176,24 @@ def test_critic_matches_torch_rnn(tmp_path):
     got_g = GRULayer(D, H).apply(params_g, x)
     np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_cleanup_stale_run_dirs(tmp_path):
+    """ref: utilities/folder_cleanup.py (intent-fixed: explicit callable)."""
+    from bmhrl_tpu.utils.logging import cleanup_stale_run_dirs
+
+    stale_tb = tmp_path / "run_a"
+    stale_tb.mkdir()
+    (stale_tb / "events.out.tfevents.123.host").write_text("")
+    stale_jsonl = tmp_path / "run_b"
+    stale_jsonl.mkdir()
+    (stale_jsonl / "scalars.jsonl").write_text("{}")
+    keep = tmp_path / "run_c"
+    keep.mkdir()
+    (keep / "scalars.jsonl").write_text("{}")
+    (keep / "captioning_results_val_1_e3.json").write_text("{}")
+
+    assert cleanup_stale_run_dirs(str(tmp_path)) == 2
+    assert not stale_tb.exists() and not stale_jsonl.exists()
+    assert keep.exists()
+    assert cleanup_stale_run_dirs(str(tmp_path / "missing")) == 0
