@@ -461,6 +461,34 @@ class BMHrlAgent(nn.Module):
             "hb": jnp.zeros((B,), bool),
         }
 
+    # param-tree keys of the two identically-shaped fusion stacks; the
+    # decode loop stacks them on a leading axis and runs both through ONE
+    # vmapped BMFusion (see train/decode.make_stacked_fusion)
+    FUSION_PARAM_KEYS = ("bm_worker_fus", "bm_manager_fus")
+
+    def decode_step_head(self, tok_t, t, crit_state):
+        """Embed token t, advance the frozen critic one cell, position-encode:
+        the shared prefix of decode_step, split out so the decode loop can
+        run the two fusion stacks stacked/vmapped in between."""
+        from bmhrl_tpu.models.blocks import sinusoid_table
+
+        emb_t = self.emb_C(tok_t[:, None])
+        score_t, crit = self.critic.step(emb_t[:, 0], crit_state)
+        label_t = (nn.sigmoid(score_t[:, 0])
+                   > self.critic_score_threshold).astype(jnp.int32)
+        table = jnp.asarray(sinusoid_table(3660, self.d_model_caps))
+        c_t = (emb_t + table[t][None, None, :]).astype(self.dtype)
+        return c_t, label_t, crit
+
+    def decode_step_tail(self, wf_t, mf_t, label_t, hb, goal_cache, t,
+                         deterministic: bool = True):
+        """Goal emission + worker head: the suffix of decode_step."""
+        hb = hb | label_t.astype(bool)
+        goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
+        logits, gk, gv = self.worker.step(
+            wf_t, goal_t, goal_cache["k"], goal_cache["v"], t, deterministic)
+        return logits, {"k": gk, "v": gv}, hb
+
     def decode_step(self, tok_t, t, caches, masks, fusion_kv,
                     deterministic: bool = True):
         """One-token decode against KV caches: the critic advances one cell,

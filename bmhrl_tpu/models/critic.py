@@ -75,9 +75,23 @@ class LSTMLayer(nn.Module):
         return hs.transpose(1, 0, 2)
 
     def step(self, xt: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray]):
-        """xt: (B, d_in); state: (h, c) each (B, H)."""
-        xg = xt.astype(jnp.float32) @ self.weight_ih.T + self.bias_ih
-        h, c = self._cell(xg, *state)
+        """xt: (B, d_in); state: (h, c) each (B, H).
+
+        One merged ``[x, h] @ [W_ih; W_hh]^T`` matmul instead of two: the
+        weight concat is loop-invariant (hoisted out of the decode
+        while_loop by XLA), and the decode loop body is op-count-bound on
+        TPU, so halving the matmul count is a direct latency win. Relative
+        to two separate matmuls this reassociates the f32 reduction across
+        the K dim (~1 ulp difference)."""
+        h, c = state
+        w = jnp.concatenate([self.weight_ih, self.weight_hh], axis=1)
+        xh = jnp.concatenate([xt.astype(jnp.float32), h], axis=1)
+        gates = xh @ w.T + (self.bias_ih + self.bias_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
         return h, (h, c)
 
 
@@ -118,8 +132,30 @@ class GRULayer(nn.Module):
         return hs.transpose(1, 0, 2)
 
     def step(self, xt: jnp.ndarray, h: jnp.ndarray):
-        xg = xt.astype(jnp.float32) @ self.weight_ih.T + self.bias_ih
-        h = self._cell(xg, h)
+        """One block-diagonal ``[x, h] @ [[W_ih, 0], [0, W_hh]]^T`` matmul
+        yielding (xg, hg) together (the GRU's n-gate needs hg separate, so
+        a plain concat merge like the LSTM's is impossible). The zero
+        blocks double the cell's FLOPs, but the decode loop body is
+        op-count-bound, not FLOP-bound — one MXU op beats two. The padded
+        weight is loop-invariant (hoisted out of the while_loop)."""
+        H3 = 3 * self.d_hidden
+        w = jnp.concatenate([
+            jnp.concatenate(
+                [self.weight_ih,
+                 jnp.zeros((H3, self.d_hidden), jnp.float32)], axis=1),
+            jnp.concatenate(
+                [jnp.zeros((H3, self.d_in), jnp.float32),
+                 self.weight_hh], axis=1)], axis=0)
+        xh = jnp.concatenate([xt.astype(jnp.float32), h], axis=1)
+        out = xh @ w.T
+        xg = out[:, :H3] + self.bias_ih
+        hg = out[:, H3:] + self.bias_hh
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = nn.sigmoid(xr + hr)
+        z = nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
         return h, h
 
 

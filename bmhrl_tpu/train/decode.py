@@ -28,6 +28,18 @@ import jax.numpy as jnp
 from bmhrl_tpu.ops.masking import c_mask
 
 
+def make_stacked_fusion(model):
+    """Standalone BMFusion with the agent's hyperparams (constructed here —
+    flax forbids calling helper methods on an unbound module)."""
+    from bmhrl_tpu.models.bmhrl import BMFusion
+
+    return BMFusion(
+        d_model_A=model.d_audio, d_model_V=model.d_video,
+        d_model_C=model.d_model_caps, d_model=model.d_model,
+        d_ff_c=model.d_ff_c, dout_p=model.dout_p, H=model.att_heads,
+        N=model.att_layers, dtype=model.dtype)
+
+
 def _decode_loop(
     model,
     params,
@@ -115,7 +127,14 @@ def _decode_loop_fast(
 ):
     """Fully incremental loop over model.decode_step: O(1) positions per
     token (KV caches for self/goal attention, carried critic state,
-    precomputed cross-attention K/V). Exact for exploration=False."""
+    precomputed cross-attention K/V). Exact for exploration=False.
+
+    When the model exposes ``make_fusion_module`` (BMHrlAgent), the worker
+    and manager fusion stacks — identical architectures — run as ONE
+    vmapped computation over params stacked on a leading axis of 2: every
+    per-token matmul/LayerNorm in the stacks executes once at double width
+    instead of twice, halving the op count of the loop body (the per-token
+    cost is op-bound, not FLOP-bound, at these shapes)."""
     L = max_len + 1
     trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
     done0 = jnp.zeros((B,), bool)
@@ -124,16 +143,47 @@ def _decode_loop_fast(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    stacked = hasattr(type(model), "FUSION_PARAM_KEYS")
+    if stacked:
+        fus = make_stacked_fusion(model)
+        wk, mk = model.FUSION_PARAM_KEYS
+        stack2 = lambda a, b: jnp.stack([a, b])  # noqa: E731
+        fus_params = jax.tree.map(
+            stack2, params["params"][wk], params["params"][mk])
+        fus_kv = jax.tree.map(
+            stack2, fusion_kv["worker"], fusion_kv["manager"])
+        caches0 = dict(caches0)
+        caches0["fus"] = jax.tree.map(
+            stack2, caches0.pop("wself"), caches0.pop("mself"))
+
     def cond(carry):
         t, _, done = carry[0], carry[1], carry[2]
         return (t < max_len) & ~jnp.all(done)
 
+    def step_stacked(tok_t, t, caches):
+        c_t, label_t, crit = model.apply(
+            params, tok_t, t, caches["critic"], method="decode_step_head")
+
+        def one(p, cache, kv):
+            return fus.apply({"params": p}, c_t, t, cache, masks_src, kv,
+                             method="step")
+
+        cf, fcaches = jax.vmap(one)(fus_params, caches["fus"], fus_kv)
+        logits_t, goal_cache, hb = model.apply(
+            params, cf[0], cf[1], label_t, caches["hb"], caches["goal"], t,
+            method="decode_step_tail")
+        return logits_t, {"critic": crit, "fus": fcaches,
+                          "goal": goal_cache, "hb": hb}
+
     def body(carry):
         t, trg, done, rng, probs, caches = carry
         tok_t = trg[jnp.arange(B), t]
-        logits_t, caches = model.apply(
-            params, tok_t, t, caches, masks_src, fusion_kv,
-            method="decode_step")
+        if stacked:
+            logits_t, caches = step_stacked(tok_t, t, caches)
+        else:
+            logits_t, caches = model.apply(
+                params, tok_t, t, caches, masks_src, fusion_kv,
+                method="decode_step")
         rng, sub = jax.random.split(rng)
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
