@@ -35,7 +35,7 @@ def _decode_bench(jax, jnp, model, params_for, feats_for, masks_for,
     from bmhrl_tpu.train.decode import decode
 
     results = {}
-    for B in (32, 256, 512):
+    for B in (32, 256, 1024):
         feats = feats_for(B)
         masks_src = masks_for(feats, None)
         params = params_for(B, feats)
@@ -188,7 +188,7 @@ def main():
     extra.update({k: round(v, 3) for k, v in train.items()})
     print(json.dumps({
         "metric": (f"captioned clips/sec/chip (greedy, KV-cached decode, "
-                   f"best of B in {{32,256,512}}, Sv=128, Sa=256)"),
+                   f"best of B in {{32,256,1024}}, Sv=128, Sa=256)"),
         "value": round(best, 2),
         "unit": "clips/s",
         "vs_baseline": round(best / ref, 2),

@@ -114,6 +114,125 @@ class MultiheadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, self._d)
         return self.linear_d2Q(out), k_cache, v_cache
 
+    def attend_step_shared(self, h, k_cache, v_cache, t,
+                           deterministic: bool = True):
+        """attend_step for self-attention (query and key/value are the SAME
+        single-position input ``h``): the Q/K/V projections collapse into
+        one ``h @ [W_Q; W_K; W_V]`` matmul (weight concat is loop-invariant
+        and hoisted out of the decode while_loop). Token-exact with
+        attend_step(h, h, ...) up to f32 reassociation."""
+        import jax
+
+        pq = self.linear_Q2d.variables["params"]
+        pk = self.linear_K2d.variables["params"]
+        pv = self.linear_V2d.variables["params"]
+        w = jnp.concatenate(
+            [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1)
+        b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+        qkv = h.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
+        q, k_t, v_t = (self._heads(y) for y in jnp.split(qkv, 3, axis=-1))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_t.astype(k_cache.dtype), t, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_t.astype(v_cache.dtype), t, axis=2)
+        L = k_cache.shape[2]
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_cache,
+            preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(self._d_k, jnp.float32))
+        pos = jnp.arange(L)[None, None, None, :]
+        scores = jnp.where(pos <= t, scores, NEG_INF)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype),
+                         v_cache, preferred_element_type=jnp.float32)
+        out = self.dropout(out, deterministic=deterministic)
+        B = h.shape[0]
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, self._d)
+        return self.linear_d2Q(out), k_cache, v_cache
+
+    def folded_weights(self):
+        """Fold the K/V projections out of the per-token path (associativity):
+
+        scores^h = (q W_Q^h + b_q^h) (M W_K^h + b_k^h)^T
+                 = q (W_Q^h W_K^h,T) M^T + b_q^h W_K^h,T M^T + const(key)
+        where the key-constant term is uniform across keys, hence dropped
+        (softmax-invariant), and
+        out = sum_h softmax^h M (W_V^h W_O^h) + (b_v W_O + b_o)
+        using sum_j p_j = 1 to fold the value bias.
+
+        Attention then runs against the RAW memory M instead of
+        precomputed K/V caches: per-token HBM traffic drops from
+        2*d_model to d_raw bytes per key (16x for the 128-d audio memory,
+        2x for the 1024-d video memory) and the (B, H, Sk, d_k) caches
+        are never materialized. Returns f32
+        (W_qk (H, Dq, Draw), b_qk (H, Draw), W_vo (H, Draw, Dout), b_vo).
+        """
+        H, dk = self.H, self._d_k
+        pq = self.linear_Q2d.variables["params"]
+        pk = self.linear_K2d.variables["params"]
+        pv = self.linear_V2d.variables["params"]
+        po = self.linear_d2Q.variables["params"]
+        wq = pq["kernel"].astype(jnp.float32).reshape(-1, H, dk)
+        wk = pk["kernel"].astype(jnp.float32).reshape(-1, H, dk)
+        wv = pv["kernel"].astype(jnp.float32).reshape(-1, H, dk)
+        wo = po["kernel"].astype(jnp.float32).reshape(H, dk, -1)
+        bq = pq["bias"].astype(jnp.float32).reshape(H, dk)
+        bv = pv["bias"].astype(jnp.float32).reshape(H, dk)
+        w_qk = jnp.einsum("qhd,khd->hqk", wq, wk)
+        b_qk = jnp.einsum("hd,khd->hk", bq, wk)
+        w_vo = jnp.einsum("khd,hdo->hko", wv, wo)
+        b_vo = (jnp.einsum("hd,hdo->o", bv, wo)
+                + po["bias"].astype(jnp.float32))
+        return w_qk, b_qk, w_vo, b_vo
+
+    def folded_q(self, q_in: jnp.ndarray) -> jnp.ndarray:
+        """Effective queries for folded attention: (B, 1|·, Dq) ->
+        (B, H, Draw). The raw-memory contraction itself is done by the
+        caller (ops.attention.folded_attend) so it can batch several
+        attention groups into one kernel."""
+        w_qk, b_qk, _, _ = self.folded_weights()
+        q = q_in.reshape(q_in.shape[0], -1).astype(self.dtype)
+        return (jnp.einsum("bq,hqk->bhk", q, w_qk.astype(self.dtype),
+                           preferred_element_type=jnp.float32) + b_qk[None])
+
+    def folded_out(self, ctx: jnp.ndarray) -> jnp.ndarray:
+        """Folded value+output projection: ctx (B, H, Draw) -> (B, Dq_out)."""
+        _, _, w_vo, b_vo = self.folded_weights()
+        return (jnp.einsum("bhk,hko->bo", ctx.astype(self.dtype),
+                           w_vo.astype(self.dtype),
+                           preferred_element_type=jnp.float32) + b_vo[None])
+
+    @property
+    def folded_scale(self) -> float:
+        return 1.0 / float(self._d_k) ** 0.5
+
+    def attend_folded(self, q_in, mem, mask, deterministic: bool = True):
+        """Single-position cross-attention against the raw memory ``mem``
+        (B, Sk, Draw) with K/V/out projections folded (folded_weights).
+        q_in: (B, 1, Dq); mask: (B, 1, Sk) key-pad mask. Token-exact with
+        attend_step/precomputed-KV up to bf16/f32 reassociation."""
+        w_qk, b_qk, w_vo, b_vo = self.folded_weights()
+        q = q_in[:, 0].astype(self.dtype)
+        q_eff = (jnp.einsum("bq,hqk->bhk", q, w_qk.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+                 + b_qk[None])
+        scores = jnp.einsum(
+            "bhk,bsk->bhs", q_eff.astype(self.dtype), mem.astype(self.dtype),
+            preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(self._d_k, jnp.float32))
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        probs = nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhs,bsk->bhk", probs.astype(self.dtype),
+                         mem.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        ctx = self.dropout(ctx, deterministic=deterministic)
+        out = (jnp.einsum("bhk,hko->bo", ctx.astype(self.dtype),
+                          w_vo.astype(self.dtype),
+                          preferred_element_type=jnp.float32)
+               + b_vo[None])
+        return out[:, None, :].astype(self.dtype)
+
     def kv_cache_shape(self, B: int, L: int):
         return (B, self.H, L, self._d_k)
 

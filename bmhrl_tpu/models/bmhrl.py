@@ -171,6 +171,64 @@ class BMFusionLayer(nn.Module):
         fused = av_factor * Cv + (1.0 - av_factor) * Ca
         return fused.astype(self.dtype), {"k": k, "v": v}
 
+    def step_mem(self, c_t, t, cache, masks, mem, deterministic: bool = True):
+        """``step`` with the cross-attention K/V projections folded into the
+        query/output side (MultiheadedAttention.attend_folded): attends the
+        RAW encoder memories ``mem = {"A": Av, "V": Va}`` directly, so no
+        per-layer (B, H, Sk, d_k) caches exist and per-token HBM traffic
+        drops ~2.4x. The self-attention runs its Q/K/V projections as one
+        merged matmul (attend_step_shared). Token-exact with ``step`` up to
+        bf16 reassociation."""
+        det = deterministic
+        h = self.res_self.pre(c_t).astype(c_t.dtype)
+        out, k, v = self.self_att.attend_step_shared(
+            h, cache["k"], cache["v"], t, det)
+        C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
+        ha = self.res_A.pre(C).astype(c_t.dtype)
+        out_a = self.enc_att_A.attend_folded(ha, mem["A"], masks["A_mask"],
+                                             deterministic=det)
+        Ca = self.res_A.post(C, out_a.astype(c_t.dtype), det)
+        hv = self.res_V.pre(C).astype(c_t.dtype)
+        out_v = self.enc_att_V.attend_folded(hv, mem["V"], masks["V_mask"],
+                                             deterministic=det)
+        Cv = self.res_V.post(C, out_v.astype(c_t.dtype), det)
+        Ca = self.normCA(Ca.astype(jnp.float32))
+        Cv = self.normCV(Cv.astype(jnp.float32))
+        av_factor = nn.sigmoid(jnp.clip(self.a_v_constant, -2.0, 2.0))
+        fused = av_factor * Cv + (1.0 - av_factor) * Ca
+        return fused.astype(self.dtype), {"k": k, "v": v}
+
+    def step_mem_pre(self, c_t, t, cache, deterministic: bool = True):
+        """First half of step_mem, up to (but excluding) the two cross-
+        attention contractions: self-attention + residual, branch pre-LNs,
+        folded effective queries. Returns (C, q_eff_A (B, H, dA),
+        q_eff_V (B, H, dV), cache). The contractions run OUTSIDE the
+        per-stack vmap (ops.attention.folded_attend) so both stacks share
+        ONE memory read per branch."""
+        det = deterministic
+        h = self.res_self.pre(c_t).astype(c_t.dtype)
+        out, k, v = self.self_att.attend_step_shared(
+            h, cache["k"], cache["v"], t, det)
+        C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
+        ha = self.res_A.pre(C).astype(c_t.dtype)
+        hv = self.res_V.pre(C).astype(c_t.dtype)
+        return (C, self.enc_att_A.folded_q(ha), self.enc_att_V.folded_q(hv),
+                {"k": k, "v": v})
+
+    def step_mem_post(self, C, ctx_a, ctx_v, deterministic: bool = True):
+        """Second half of step_mem: folded value/output projections of the
+        branch contexts, residuals, per-branch LayerNorms, gated blend."""
+        det = deterministic
+        out_a = self.enc_att_A.folded_out(ctx_a)[:, None, :]
+        Ca = self.res_A.post(C, out_a.astype(C.dtype), det)
+        out_v = self.enc_att_V.folded_out(ctx_v)[:, None, :]
+        Cv = self.res_V.post(C, out_v.astype(C.dtype), det)
+        Ca = self.normCA(Ca.astype(jnp.float32))
+        Cv = self.normCV(Cv.astype(jnp.float32))
+        av_factor = nn.sigmoid(jnp.clip(self.a_v_constant, -2.0, 2.0))
+        fused = av_factor * Cv + (1.0 - av_factor) * Ca
+        return fused.astype(self.dtype)
+
     def __call__(self, x, masks, deterministic: bool = True, cross_kv=None):
         C, memory = x
         Av, Va = memory
@@ -231,6 +289,15 @@ class BMFusion(nn.Module):
         new_caches = []
         for layer, cache, kv in zip(self.layers, caches, cross_kv):
             c_t, cache = layer.step(c_t, t, cache, masks, kv, deterministic)
+            new_caches.append(cache)
+        return c_t, new_caches
+
+    def step_mem(self, c_t, t, caches, masks, mem, deterministic: bool = True):
+        """Single-position pass attending the raw memories (folded K/V)."""
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            c_t, cache = layer.step_mem(c_t, t, cache, masks, mem,
+                                        deterministic)
             new_caches.append(cache)
         return c_t, new_caches
 
@@ -320,6 +387,39 @@ class Worker(nn.Module):
                             axis=-1)
         logits = self.projection(h.astype(jnp.float32))[:, 0]
         return nn.log_softmax(logits, axis=-1), k_cache, v_cache
+
+    def step_raw(self, wf_t, goal_t, wf_cache, t, deterministic: bool = True):
+        """Single-position head attending a RAW worker-feature cache
+        (B, L, d_in) with the K/V/out projections of the goal attention
+        folded into the query/output side (MultiheadedAttention.
+        folded_weights): one cache write of d_in floats instead of two
+        (B, H, L, d_k) projected caches, and no per-token K/V projections.
+        Token-exact with ``step`` up to bf16 reassociation."""
+        import jax
+
+        wf_cache = jax.lax.dynamic_update_slice_in_dim(
+            wf_cache, wf_t.astype(wf_cache.dtype), t, axis=1)
+        att = self.goal_attention
+        w_qk, b_qk, w_vo, b_vo = att.folded_weights()
+        dt = self.dtype
+        q = goal_t[:, 0].astype(dt)
+        q_eff = (jnp.einsum("bq,hqk->bhk", q, w_qk.astype(dt),
+                            preferred_element_type=jnp.float32) + b_qk[None])
+        scores = jnp.einsum(
+            "bhk,bsk->bhs", q_eff.astype(dt), wf_cache,
+            preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(att._d_k, jnp.float32))
+        pos = jnp.arange(wf_cache.shape[1])[None, None, :]
+        scores = jnp.where(pos <= t, scores, -1e9)
+        probs = nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhs,bsk->bhk", probs.astype(dt), wf_cache,
+                         preferred_element_type=jnp.float32)
+        gc = (jnp.einsum("bhk,hko->bo", ctx.astype(dt), w_vo.astype(dt),
+                         preferred_element_type=jnp.float32) + b_vo[None])
+        h = jnp.concatenate(
+            [wf_t[:, 0], gc.astype(wf_t.dtype)], axis=-1)
+        logits = self.projection(h.astype(jnp.float32))
+        return nn.log_softmax(logits, axis=-1), wf_cache
 
     def frontier(self, wf_t, worker_feat, goal_t, mask_row,
                  deterministic: bool = True) -> jnp.ndarray:
@@ -455,7 +555,9 @@ class BMHrlAgent(nn.Module):
             "critic": self.critic.init_state(B),
             "wself": [mha_cache(l.self_att) for l in self.bm_worker_fus.layers],
             "mself": [mha_cache(l.self_att) for l in self.bm_manager_fus.layers],
-            "goal": mha_cache(self.worker.goal_attention),
+            # raw worker-feature cache for the folded goal attention
+            # (Worker.step_raw) — one (B, L, Dc) buffer, not projected K/V
+            "goal": jnp.zeros((B, L, self.d_model_caps), self.dtype),
             # per-row "has any boundary yet" flag for the expand_goals
             # finalization quirks (ops.segments.frontier_goal)
             "hb": jnp.zeros((B,), bool),
@@ -482,12 +584,13 @@ class BMHrlAgent(nn.Module):
 
     def decode_step_tail(self, wf_t, mf_t, label_t, hb, goal_cache, t,
                          deterministic: bool = True):
-        """Goal emission + worker head: the suffix of decode_step."""
+        """Goal emission + worker head: the suffix of decode_step.
+        goal_cache: raw (B, L, Dc) worker-feature buffer (Worker.step_raw)."""
         hb = hb | label_t.astype(bool)
         goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
-        logits, gk, gv = self.worker.step(
-            wf_t, goal_t, goal_cache["k"], goal_cache["v"], t, deterministic)
-        return logits, {"k": gk, "v": gv}, hb
+        logits, goal_cache = self.worker.step_raw(
+            wf_t, goal_t, goal_cache, t, deterministic)
+        return logits, goal_cache, hb
 
     def decode_step(self, tok_t, t, caches, masks, fusion_kv,
                     deterministic: bool = True):
@@ -513,11 +616,10 @@ class BMHrlAgent(nn.Module):
             c_t, t, caches["mself"], masks, fusion_kv["manager"], deterministic)
         hb = caches["hb"] | label_t.astype(bool)
         goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
-        logits, gk, gv = self.worker.step(
-            wf_t, goal_t, caches["goal"]["k"], caches["goal"]["v"], t,
-            deterministic)
+        logits, goal_cache = self.worker.step_raw(
+            wf_t, goal_t, caches["goal"], t, deterministic)
         new_caches = {"critic": crit, "wself": wself, "mself": mself,
-                      "goal": {"k": gk, "v": gv}, "hb": hb}
+                      "goal": goal_cache, "hb": hb}
         return logits, new_caches
 
     def decode_with_labels(

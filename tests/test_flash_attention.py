@@ -89,3 +89,23 @@ def test_flash_gradients_match_xla():
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_folded_attend_kernel_matches_xla():
+    """Decode-side fused folded attention (Pallas, interpret on CPU) must
+    match the plain XLA contraction it replaces."""
+    rng = np.random.RandomState(4)
+    B, G, S, draw = 3, 8, 130, 128  # S >= 64 and draw % 128 == 0 -> kernel
+    q = jnp.asarray(rng.randn(B, G, draw), jnp.float32)
+    mem = jnp.asarray(rng.randn(B, S, draw), jnp.float32)
+    mask = jnp.ones((B, S), bool).at[1, 100:].set(False)
+    scale = 0.0625
+    assert fused.folded_qualifies(S, draw)
+    out = np.asarray(fused.folded_attend(q, mem, mask, scale))
+
+    s = np.einsum("bgk,bsk->bgs", np.asarray(q) * scale, np.asarray(mem))
+    s = np.where(np.asarray(mask)[:, None, :], s, -1e9)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bgs,bsk->bgk", p, np.asarray(mem))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
