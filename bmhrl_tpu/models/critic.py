@@ -82,8 +82,17 @@ class LSTMLayer(nn.Module):
         while_loop by XLA), and the decode loop body is op-count-bound on
         TPU, so halving the matmul count is a direct latency win. Relative
         to two separate matmuls this reassociates the f32 reduction across
-        the K dim (~1 ulp difference)."""
+        the K dim (~1 ulp difference).
+
+        At production width the whole cell runs as ONE fused Pallas kernel
+        (ops/critic_kernels.lstm_cell, exact f32)."""
+        from bmhrl_tpu.ops import critic_kernels as ck
+
         h, c = state
+        if ck.cells_qualify(self.d_hidden):
+            h, c = ck.lstm_cell(xt, h, c, self.weight_ih, self.weight_hh,
+                                self.bias_ih + self.bias_hh)
+            return h, (h, c)
         w = jnp.concatenate([self.weight_ih, self.weight_hh], axis=1)
         xh = jnp.concatenate([xt.astype(jnp.float32), h], axis=1)
         gates = xh @ w.T + (self.bias_ih + self.bias_hh)
@@ -137,7 +146,15 @@ class GRULayer(nn.Module):
         a plain concat merge like the LSTM's is impossible). The zero
         blocks double the cell's FLOPs, but the decode loop body is
         op-count-bound, not FLOP-bound — one MXU op beats two. The padded
-        weight is loop-invariant (hoisted out of the while_loop)."""
+        weight is loop-invariant (hoisted out of the while_loop).
+
+        At production width the whole cell runs as ONE fused Pallas kernel
+        (ops/critic_kernels.gru_cell, exact f32)."""
+        from bmhrl_tpu.ops import critic_kernels as ck
+
+        if ck.cells_qualify(self.d_hidden):
+            return (ck.gru_cell(xt, h, self.weight_ih, self.weight_hh,
+                                self.bias_ih, self.bias_hh),) * 2
         H3 = 3 * self.d_hidden
         w = jnp.concatenate([
             jnp.concatenate(

@@ -183,10 +183,23 @@ def _flash_forward_impl(q, k, v, mask, causal):
     return out.reshape(B, H, Sq, d)
 
 
+_FOLDED_KERNEL = False
+
+
+def enable_folded_kernel(on: bool = True) -> None:
+    """Opt-in: the fused kernel reads the memory once per call (the XLA
+    path reads it twice), but its grid=(B,) single-row programs carry
+    per-program overhead that measured net-slower on the current v5e at
+    decode shapes (B=256: 2719 vs 3201 clips/s; B=1024: ~equal). Kept for
+    platforms where kernel-launch cost is lower."""
+    global _FOLDED_KERNEL
+    _FOLDED_KERNEL = on
+
+
 def folded_qualifies(S: int, draw: int) -> bool:
     """Fused folded-attention kernel gate: the raw-memory dim must tile the
     lane width; tiny key counts are faster on the XLA path."""
-    return S >= 64 and draw % 128 == 0
+    return _FOLDED_KERNEL and S >= 64 and draw % 128 == 0
 
 
 def _folded_kernel(q_ref, mem_ref, mask_ref, o_ref):

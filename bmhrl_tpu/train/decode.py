@@ -172,13 +172,15 @@ def _decode_loop_fast(
         return (t < max_len) & ~jnp.all(done)
 
     if stacked:
-        from bmhrl_tpu.ops.attention import folded_attend
+        from bmhrl_tpu.ops import attention as fused_ops
 
         maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
         maskV = masks_src["V_mask"][:, 0, :]
         N_layers = fus.N
         att_scale = 1.0 / float(model.d_model // model.att_heads) ** 0.5
-        H = model.att_heads
+        use_folded_kernel = (
+            fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
+            and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
 
         def collapse(q2):  # (2, B, H, d) -> (B, 2H, d)
             return q2.transpose(1, 0, 2, 3).reshape(
@@ -188,10 +190,10 @@ def _decode_loop_fast(
             B_, G, d = c.shape
             return c.reshape(B_, 2, G // 2, d).transpose(1, 0, 2, 3)
 
-    def step_stacked(tok_t, t, caches):
-        c_t, label_t, crit = model.apply(
-            params, tok_t, t, caches["critic"], method="decode_step_head")
-        # both stacks start from the same caption-stream position
+    def step_stacked_kernel(c_t, t, fcaches0):
+        """Per-layer split: the fused Pallas contraction serves both stacks
+        with ONE memory read per branch (opt-in —
+        ops.attention.enable_folded_kernel)."""
         c2 = jnp.broadcast_to(c_t, (2,) + c_t.shape)
         fcaches = []
         for i in range(N_layers):
@@ -202,12 +204,10 @@ def _decode_loop_fast(
                 return fus.apply({"params": p}, c, cache, method=pre_i)
 
             C2, qA2, qV2, cache_i = jax.vmap(one_pre)(
-                fus_params, c2, caches["fus"][i])
-            # ONE fused contraction per branch serves both stacks: the raw
-            # memory is read once per call, not per stack
-            ctxA = uncollapse(folded_attend(
+                fus_params, c2, fcaches0[i])
+            ctxA = uncollapse(fused_ops.folded_attend(
                 collapse(qA2), mem["A"], maskA, att_scale))
-            ctxV = uncollapse(folded_attend(
+            ctxV = uncollapse(fused_ops.folded_attend(
                 collapse(qV2), mem["V"], maskV, att_scale))
 
             def post_i(m, C, ca, cv, _i=i):
@@ -218,8 +218,24 @@ def _decode_loop_fast(
 
             c2 = jax.vmap(one_post)(fus_params, C2, ctxA, ctxV)
             fcaches.append(cache_i)
+        return c2, fcaches
+
+    def step_stacked(tok_t, t, caches):
+        c_t, label_t, crit = model.apply(
+            params, tok_t, t, caches["critic"], method="decode_step_head")
+        if use_folded_kernel:
+            cf, fcaches = step_stacked_kernel(c_t, t, caches["fus"])
+        else:
+            # monolithic vmapped stack step (fastest measured XLA layout:
+            # the per-layer split's extra transposes don't pay unless the
+            # fused contraction kernel is on)
+            def one(p, cache):
+                return fus.apply({"params": p}, c_t, t, cache, masks_src,
+                                 mem, method="step_mem")
+
+            cf, fcaches = jax.vmap(one)(fus_params, caches["fus"])
         logits_t, goal_cache, hb = model.apply(
-            params, c2[0], c2[1], label_t, caches["hb"], caches["goal"], t,
+            params, cf[0], cf[1], label_t, caches["hb"], caches["goal"], t,
             method="decode_step_tail")
         return logits_t, {"critic": crit, "fus": fcaches,
                           "goal": goal_cache, "hb": hb}
