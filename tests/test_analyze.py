@@ -33,3 +33,18 @@ def test_prefetcher_order_and_exhaustion():
     assert got == items
     # empty iterator terminates cleanly
     assert list(Prefetcher(iter([]), depth=2)) == []
+
+
+def test_prefetcher_device_staging():
+    """Numeric feature keys are staged to device in the worker thread;
+    string metadata stays host-side untouched."""
+    import jax
+
+    batches = [{"rgb": np.ones((2, 3), np.float32),
+                "caption_idx": np.zeros((2, 4), np.int32),
+                "video_ids": ["a", "b"], "n_valid": 2}]
+    (out,) = list(Prefetcher(iter(batches), depth=2))
+    assert isinstance(out["rgb"], jax.Array)
+    assert isinstance(out["caption_idx"], jax.Array)
+    assert out["video_ids"] == ["a", "b"]
+    assert out["n_valid"] == 2
