@@ -45,7 +45,13 @@ def _decode_bench(jax, jnp, model, params_for, feats_for, masks_for,
                              1, greedy=True, use_fast=True)
             return np.asarray(toks)  # host fetch: the only reliable sync
 
-        run()  # compile
+        for attempt in range(3):  # the remote-compile service drops
+            try:                  # connections transiently
+                run()  # compile
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
         iters = 8 if B <= 64 else 5
         t0 = time.time()
         for _ in range(iters):

@@ -192,7 +192,7 @@ def _decode_loop_fast(
 
     def step_stacked_kernel(c_t, t, fcaches0):
         """Per-layer split: the fused Pallas contraction serves both stacks
-        with ONE memory read per branch (opt-in —
+        with ONE memory read per branch (default —
         ops.attention.enable_folded_kernel)."""
         c2 = jnp.broadcast_to(c_t, (2,) + c_t.shape)
         fcaches = []
@@ -294,10 +294,10 @@ def decode(
     # The O(1)-positions incremental loop (folded cross-attention over the
     # raw memories + KV-cached self-attention) is token-exact with the full
     # path (tested) and measured faster at every batch size on the v5e
-    # (B=256: 3200 vs 943 clips/s; scales to 3900 at B=1024 since no
-    # per-layer K/V caches are materialized) — default ON; the full-buffer
-    # frontier loop remains for exploration mode and models without
-    # decode_step.
+    # (B=256: ~3000 vs 943 clips/s; 4477 at B=1024 with the fused folded
+    # contraction, since no per-layer K/V caches are materialized) —
+    # default ON; the full-buffer frontier loop remains for exploration
+    # mode and models without decode_step.
     if use_fast is None:
         use_fast = not exploration
     if use_fast and hasattr(type(model), "decode_step") and not exploration:

@@ -100,12 +100,8 @@ def test_folded_attend_kernel_matches_xla():
     mem = jnp.asarray(rng.randn(B, S, draw), jnp.float32)
     mask = jnp.ones((B, S), bool).at[1, 100:].set(False)
     scale = 0.0625
-    fused.enable_folded_kernel(True)
-    try:
-        assert fused.folded_qualifies(S, draw)
-        out = np.asarray(fused.folded_attend(q, mem, mask, scale))
-    finally:
-        fused.enable_folded_kernel(False)
+    assert fused.folded_qualifies(S, draw)  # kernel is default-on
+    out = np.asarray(fused.folded_attend(q, mem, mask, scale))
 
     s = np.einsum("bgk,bsk->bgs", np.asarray(q) * scale, np.asarray(mem))
     s = np.where(np.asarray(mask)[:, None, :], s, -1e9)
