@@ -214,7 +214,11 @@ class Prefetcher:
 
     DEVICE_KEYS = ("rgb", "flow", "audio", "caption_idx")
 
-    def __init__(self, it: Iterator, depth: int = 2, to_device: bool = True):
+    def __init__(self, it: Iterator, depth: int = 2, to_device: bool = True,
+                 sharding=None):
+        """``sharding``: optional jax.sharding.Sharding (e.g.
+        mesh.batch_sharding) so multi-chip batches are staged directly in
+        the mesh layout — without it arrays land on the default device."""
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
 
@@ -227,7 +231,9 @@ class Prefetcher:
                         item = dict(item)
                         for k in self.DEVICE_KEYS:
                             if k in item:
-                                item[k] = jax.device_put(item[k])
+                                item[k] = (jax.device_put(item[k], sharding)
+                                           if sharding is not None
+                                           else jax.device_put(item[k]))
                     self.q.put(item)
             finally:
                 self.q.put(self._done)

@@ -25,6 +25,8 @@ the Meteor/PPDB layouts both parse) or TAB-separated two-column.
 """
 from __future__ import annotations
 
+import re
+
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 # METEOR 1.5 English function-word list (common closed-class words)
@@ -95,17 +97,22 @@ class ParaphraseTable:
             return None
         if "|||" in line:
             fields = [f.strip() for f in line.split("|||")]
-            texts = []
-            for f in fields:
-                if not f:
-                    continue
-                try:  # drop pure-numeric weight fields
-                    float(f)
-                except ValueError:
-                    texts.append(f)
-            if len(texts) < 2:
-                return None
-            a, b = texts[0].lower(), texts[1].lower()
+            if len(fields) >= 3 and re.fullmatch(r"\[\S+\]", fields[0]):
+                # PPDB layout: [LHS] ||| phrase ||| paraphrase ||| feats ...
+                a, b = fields[1].lower(), fields[2].lower()
+            else:
+                # Meteor layout: optional numeric weight field(s) + 2 phrases
+                texts = []
+                for f in fields:
+                    if not f:
+                        continue
+                    try:  # drop pure-numeric weight fields
+                        float(f)
+                    except ValueError:
+                        texts.append(f)
+                if len(texts) < 2:
+                    return None
+                a, b = texts[0].lower(), texts[1].lower()
         elif "\t" in line:
             parts = line.split("\t")
             if len(parts) < 2:
@@ -121,13 +128,30 @@ class ParaphraseTable:
         return self.table.get(phrase, set())
 
 
+_TABLE_CACHE: Dict[str, "ParaphraseTable"] = {}
+
+
+def _load_table(path: str) -> "ParaphraseTable":
+    """Parse-once cache: the ~750k-line paraphrase-en.gz otherwise reloads
+    on every eval phase of every epoch (evaluator objects are rebuilt per
+    calculate_metrics call)."""
+    if path not in _TABLE_CACHE:
+        _TABLE_CACHE[path] = ParaphraseTable(path)
+    return _TABLE_CACHE[path]
+
+
 class MeteorScorer:
     def __init__(self, preset: str = "nltk",
                  paraphrase_path: Optional[str] = None):
         self.stemmer = _Stemmer()
         self.wordnet = _get_wordnet()
-        self.paraphrases = (ParaphraseTable(paraphrase_path)
-                            if paraphrase_path else None)
+        # the paraphrase stage belongs to the METEOR 1.5 parameterization
+        # only: the nltk preset is the documented parity target of both the
+        # default eval scorer and the RL reward, and must not change just
+        # because a table path is configured for a meteor15 run elsewhere
+        self.paraphrases = (_load_table(paraphrase_path)
+                            if paraphrase_path and preset == "meteor15"
+                            else None)
         if preset == "nltk":
             self.alpha, self.beta, self.gamma = 0.9, 3.0, 0.5
             self.stage_weights = (1.0, 1.0, 1.0, 1.0)

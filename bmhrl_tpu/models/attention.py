@@ -84,43 +84,18 @@ class MultiheadedAttention(nn.Module):
         decode steps (the memories are static per clip)."""
         return self._heads(self.linear_K2d(K)), self._heads(self.linear_V2d(V))
 
-    def attend_step(self, q_in, kv_in, k_cache, v_cache, t,
-                    deterministic: bool = True):
-        """Single-position causal attention with a KV cache.
-
-        q_in: (B, 1, Dq); kv_in: (B, 1, Dk) — projected and written into
-        cache slot ``t``; attention runs over cache positions <= t.
-        Returns (out (B, 1, Dq), k_cache, v_cache)."""
-        import jax
-
-        q = self._heads(self.linear_Q2d(q_in))  # (B, H, 1, d_k)
-        k_t, v_t = self.project_kv(kv_in, kv_in)  # (B, H, 1, d_k)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k_t.astype(k_cache.dtype), t, axis=2)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v_t.astype(v_cache.dtype), t, axis=2)
-        L = k_cache.shape[2]
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k_cache,
-            preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(self._d_k, jnp.float32))
-        pos = jnp.arange(L)[None, None, None, :]
-        scores = jnp.where(pos <= t, scores, NEG_INF)
-        probs = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype),
-                         v_cache, preferred_element_type=jnp.float32)
-        out = self.dropout(out, deterministic=deterministic)
-        B = q_in.shape[0]
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, self._d)
-        return self.linear_d2Q(out), k_cache, v_cache
-
     def attend_step_shared(self, h, k_cache, v_cache, t,
-                           deterministic: bool = True):
-        """attend_step for self-attention (query and key/value are the SAME
-        single-position input ``h``): the Q/K/V projections collapse into
-        one ``h @ [W_Q; W_K; W_V]`` matmul (weight concat is loop-invariant
-        and hoisted out of the decode while_loop). Token-exact with
-        attend_step(h, h, ...) up to f32 reassociation."""
+                           deterministic: bool = True, key_mask=None):
+        """Single-position causal self-attention with a KV cache (query and
+        key/value are the SAME input ``h``): the Q/K/V projections collapse
+        into one ``h @ [W_Q; W_K; W_V]`` matmul (weight concat is
+        loop-invariant and hoisted out of the decode while_loop).
+        Token-exact with __call__'s causal row t up to f32 reassociation.
+
+        ``key_mask``: optional (B, L) validity of cached positions — the
+        full-buffer path's c_mask excludes PAD tokens from the keys, so the
+        incremental path must too (a degenerate model can emit PAD
+        mid-caption)."""
         import jax
 
         pq = self.linear_Q2d.variables["params"]
@@ -141,7 +116,10 @@ class MultiheadedAttention(nn.Module):
             preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(self._d_k, jnp.float32))
         pos = jnp.arange(L)[None, None, None, :]
-        scores = jnp.where(pos <= t, scores, NEG_INF)
+        ok = pos <= t
+        if key_mask is not None:
+            ok = ok & key_mask[:, None, None, :]
+        scores = jnp.where(ok, scores, NEG_INF)
         probs = nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype),
                          v_cache, preferred_element_type=jnp.float32)
@@ -210,7 +188,7 @@ class MultiheadedAttention(nn.Module):
         """Single-position cross-attention against the raw memory ``mem``
         (B, Sk, Draw) with K/V/out projections folded (folded_weights).
         q_in: (B, 1, Dq); mask: (B, 1, Sk) key-pad mask. Token-exact with
-        attend_step/precomputed-KV up to bf16/f32 reassociation."""
+        the precomputed-KV full path up to bf16/f32 reassociation."""
         w_qk, b_qk, w_vo, b_vo = self.folded_weights()
         q = q_in[:, 0].astype(self.dtype)
         q_eff = (jnp.einsum("bq,hqk->bhk", q, w_qk.astype(self.dtype),

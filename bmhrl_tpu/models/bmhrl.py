@@ -149,28 +149,6 @@ class BMFusionLayer(nn.Module):
         return {"A": self.enc_att_A.project_kv(Av, Av),
                 "V": self.enc_att_V.project_kv(Va, Va)}
 
-    def step(self, c_t, t, cache, masks, cross_kv, deterministic: bool = True):
-        """Single-position fusion step. c_t: (B, 1, Dc); cache: {"k","v"}
-        self-attention KV cache; cross_kv from precompute_kv."""
-        det = deterministic
-        h = self.res_self.pre(c_t).astype(c_t.dtype)
-        out, k, v = self.self_att.attend_step(h, h, cache["k"], cache["v"],
-                                              t, det)
-        C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
-        ha = self.res_A.pre(C).astype(c_t.dtype)
-        out_a = self.enc_att_A(ha, None, None, masks["A_mask"],
-                               deterministic=det, precomputed_kv=cross_kv["A"])
-        Ca = self.res_A.post(C, out_a.astype(c_t.dtype), det)
-        hv = self.res_V.pre(C).astype(c_t.dtype)
-        out_v = self.enc_att_V(hv, None, None, masks["V_mask"],
-                               deterministic=det, precomputed_kv=cross_kv["V"])
-        Cv = self.res_V.post(C, out_v.astype(c_t.dtype), det)
-        Ca = self.normCA(Ca.astype(jnp.float32))
-        Cv = self.normCV(Cv.astype(jnp.float32))
-        av_factor = nn.sigmoid(jnp.clip(self.a_v_constant, -2.0, 2.0))
-        fused = av_factor * Cv + (1.0 - av_factor) * Ca
-        return fused.astype(self.dtype), {"k": k, "v": v}
-
     def step_mem(self, c_t, t, cache, masks, mem, deterministic: bool = True):
         """``step`` with the cross-attention K/V projections folded into the
         query/output side (MultiheadedAttention.attend_folded): attends the
@@ -182,7 +160,8 @@ class BMFusionLayer(nn.Module):
         det = deterministic
         h = self.res_self.pre(c_t).astype(c_t.dtype)
         out, k, v = self.self_att.attend_step_shared(
-            h, cache["k"], cache["v"], t, det)
+            h, cache["k"], cache["v"], t, det,
+            key_mask=masks.get("C_kpad"))
         C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
         ha = self.res_A.pre(C).astype(c_t.dtype)
         out_a = self.enc_att_A.attend_folded(ha, mem["A"], masks["A_mask"],
@@ -198,7 +177,8 @@ class BMFusionLayer(nn.Module):
         fused = av_factor * Cv + (1.0 - av_factor) * Ca
         return fused.astype(self.dtype), {"k": k, "v": v}
 
-    def step_mem_pre(self, c_t, t, cache, deterministic: bool = True):
+    def step_mem_pre(self, c_t, t, cache, deterministic: bool = True,
+                     key_mask=None):
         """First half of step_mem, up to (but excluding) the two cross-
         attention contractions: self-attention + residual, branch pre-LNs,
         folded effective queries. Returns (C, q_eff_A (B, H, dA),
@@ -208,7 +188,7 @@ class BMFusionLayer(nn.Module):
         det = deterministic
         h = self.res_self.pre(c_t).astype(c_t.dtype)
         out, k, v = self.self_att.attend_step_shared(
-            h, cache["k"], cache["v"], t, det)
+            h, cache["k"], cache["v"], t, det, key_mask=key_mask)
         C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
         ha = self.res_A.pre(C).astype(c_t.dtype)
         hv = self.res_V.pre(C).astype(c_t.dtype)
@@ -283,14 +263,6 @@ class BMFusion(nn.Module):
             kv = cross_kv[i] if cross_kv is not None else None
             C, memory = layer((C, memory), masks, deterministic, cross_kv=kv)
         return C
-
-    def step(self, c_t, t, caches, masks, cross_kv, deterministic: bool = True):
-        """Single-position pass through the stack; caches: list per layer."""
-        new_caches = []
-        for layer, cache, kv in zip(self.layers, caches, cross_kv):
-            c_t, cache = layer.step(c_t, t, cache, masks, kv, deterministic)
-            new_caches.append(cache)
-        return c_t, new_caches
 
     def step_mem(self, c_t, t, caches, masks, mem, deterministic: bool = True):
         """Single-position pass attending the raw memories (folded K/V)."""
@@ -376,19 +348,8 @@ class Worker(nn.Module):
         logits = self.projection(h.astype(jnp.float32))
         return nn.log_softmax(logits, axis=-1)
 
-    def step(self, worker_feat_t, goal_t, k_cache, v_cache, t,
-             deterministic: bool = True):
-        """Single-position head: goal[t] attends the worker-feature cache
-        (positions <= t); returns (log-probs (B, V), caches)."""
-        out, k_cache, v_cache = self.goal_attention.attend_step(
-            goal_t.astype(self.dtype), worker_feat_t, k_cache, v_cache, t,
-            deterministic)
-        h = jnp.concatenate([worker_feat_t, out.astype(worker_feat_t.dtype)],
-                            axis=-1)
-        logits = self.projection(h.astype(jnp.float32))[:, 0]
-        return nn.log_softmax(logits, axis=-1), k_cache, v_cache
-
-    def step_raw(self, wf_t, goal_t, wf_cache, t, deterministic: bool = True):
+    def step_raw(self, wf_t, goal_t, wf_cache, t, deterministic: bool = True,
+                 key_mask=None):
         """Single-position head attending a RAW worker-feature cache
         (B, L, d_in) with the K/V/out projections of the goal attention
         folded into the query/output side (MultiheadedAttention.
@@ -410,7 +371,10 @@ class Worker(nn.Module):
             preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(att._d_k, jnp.float32))
         pos = jnp.arange(wf_cache.shape[1])[None, None, :]
-        scores = jnp.where(pos <= t, scores, -1e9)
+        ok = pos <= t
+        if key_mask is not None:  # PAD positions excluded, like C_mask
+            ok = ok & key_mask[:, None, :]
+        scores = jnp.where(ok, scores, -1e9)
         probs = nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhs,bsk->bhk", probs.astype(dt), wf_cache,
                          preferred_element_type=jnp.float32)
@@ -570,8 +534,9 @@ class BMHrlAgent(nn.Module):
 
     def decode_step_head(self, tok_t, t, crit_state):
         """Embed token t, advance the frozen critic one cell, position-encode:
-        the shared prefix of decode_step, split out so the decode loop can
-        run the two fusion stacks stacked/vmapped in between."""
+        the shared prefix of the incremental decode step (the decode loop
+        runs the two fusion stacks stacked/vmapped in between, then
+        decode_step_tail)."""
         from bmhrl_tpu.models.blocks import sinusoid_table
 
         emb_t = self.emb_C(tok_t[:, None])
@@ -583,44 +548,16 @@ class BMHrlAgent(nn.Module):
         return c_t, label_t, crit
 
     def decode_step_tail(self, wf_t, mf_t, label_t, hb, goal_cache, t,
-                         deterministic: bool = True):
+                         deterministic: bool = True, key_mask=None):
         """Goal emission + worker head: the suffix of decode_step.
-        goal_cache: raw (B, L, Dc) worker-feature buffer (Worker.step_raw)."""
+        goal_cache: raw (B, L, Dc) worker-feature buffer (Worker.step_raw);
+        key_mask: (B, L) non-PAD validity of cached positions (the
+        full-buffer path's C_mask equivalent)."""
         hb = hb | label_t.astype(bool)
         goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
         logits, goal_cache = self.worker.step_raw(
-            wf_t, goal_t, goal_cache, t, deterministic)
+            wf_t, goal_t, goal_cache, t, deterministic, key_mask=key_mask)
         return logits, goal_cache, hb
-
-    def decode_step(self, tok_t, t, caches, masks, fusion_kv,
-                    deterministic: bool = True):
-        """One-token decode against KV caches: the critic advances one cell,
-        each fusion stack processes ONE position, and the worker head scores
-        goal[t] against the cached worker features. Exact for
-        exploration=False (decode/eval); per-step cost is O(1) positions
-        instead of re-running the stacks over the whole buffer.
-
-        tok_t: (B,) last generated token; returns (log-probs (B, V), caches).
-        """
-        from bmhrl_tpu.models.blocks import sinusoid_table
-
-        emb_t = self.emb_C(tok_t[:, None])  # (B, 1, Dc) scaled embedding
-        score_t, crit = self.critic.step(emb_t[:, 0], caches["critic"])
-        label_t = (nn.sigmoid(score_t[:, 0])
-                   > self.critic_score_threshold).astype(jnp.int32)
-        table = jnp.asarray(sinusoid_table(3660, self.d_model_caps))
-        c_t = (emb_t + table[t][None, None, :]).astype(self.dtype)
-        wf_t, wself = self.bm_worker_fus.step(
-            c_t, t, caches["wself"], masks, fusion_kv["worker"], deterministic)
-        mf_t, mself = self.bm_manager_fus.step(
-            c_t, t, caches["mself"], masks, fusion_kv["manager"], deterministic)
-        hb = caches["hb"] | label_t.astype(bool)
-        goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
-        logits, goal_cache = self.worker.step_raw(
-            wf_t, goal_t, caches["goal"], t, deterministic)
-        new_caches = {"critic": crit, "wself": wself, "mself": mself,
-                      "goal": goal_cache, "hb": hb}
-        return logits, new_caches
 
     def decode_with_labels(
         self, trg, segment_labels, Va, Av, masks,
@@ -675,18 +612,11 @@ class BMHrlAgent(nn.Module):
         x_t = self.manager.drop(x_t, deterministic=deterministic)
         if exploration:
             x_full = self.manager.linear(manager_feat.astype(jnp.float32))
-            pos = jnp.arange(trg.shape[1])[None, :, None]
-            valid = (pos <= t).astype(jnp.float32)
-            cnt = jnp.asarray(t + 1, jnp.float32) * trg.shape[0] * self.d_goal
-            mean = jnp.sum(x_full * valid) / cnt
-            var = jnp.sum((x_full - mean) ** 2 * valid) / cnt
-            mean = jax.lax.stop_gradient(mean / self.manager.mean_factor)
-            std = jax.lax.stop_gradient(
-                jnp.sqrt(var) / self.manager.std_factor)
-            rng = self.make_rng("noise")
-            noise = (jax.random.normal(rng, (self.d_goal,)) * std
-                     + mean - 0.5 * mean)
-            x_t = x_t + noise
+            from bmhrl_tpu.ops.segments import frontier_exploration_noise
+
+            x_t = x_t + frontier_exploration_noise(
+                x_full, t, self.d_goal, self.make_rng("noise"),
+                self.manager.mean_factor, self.manager.std_factor)
         goal_t = expand_goals_frontier(
             x_t, label_t, segment_labels.any(axis=1))
         wf_t = jax.lax.dynamic_slice_in_dim(worker_feat, t, 1, axis=1)

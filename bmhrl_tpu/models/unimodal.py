@@ -222,18 +222,11 @@ class UnimodalAgent(nn.Module):
         x_t = self.manager.drop(x_t, deterministic=deterministic)
         if exploration:
             x_full = self.manager.linear(mf.astype(jnp.float32))
-            pos = jnp.arange(trg.shape[1])[None, :, None]
-            valid = (pos <= t).astype(jnp.float32)
-            cnt = jnp.asarray(t + 1, jnp.float32) * trg.shape[0] * self.d_goal
-            mean = jnp.sum(x_full * valid) / cnt
-            var = jnp.sum((x_full - mean) ** 2 * valid) / cnt
-            mean = jax.lax.stop_gradient(mean / self.manager.mean_factor)
-            std = jax.lax.stop_gradient(
-                jnp.sqrt(var) / self.manager.std_factor)
-            rng = self.make_rng("noise")
-            noise = (jax.random.normal(rng, (self.d_goal,)) * std
-                     + mean - 0.5 * mean)
-            x_t = x_t + noise
+            from bmhrl_tpu.ops.segments import frontier_exploration_noise
+
+            x_t = x_t + frontier_exploration_noise(
+                x_full, t, self.d_goal, self.make_rng("noise"),
+                self.manager.mean_factor, self.manager.std_factor)
         from bmhrl_tpu.ops.segments import frontier_goal
 
         goal_t = frontier_goal(x_t, label_t, segment_labels.any(axis=1))

@@ -149,3 +149,22 @@ def discounted_segment_return(
     )
     out = jnp.einsum("bik,bk->bi", w, reward * m_, precision="highest")
     return jnp.where(nb < L, out, 0.0)
+
+
+def frontier_exploration_noise(x_full, t, d_goal, rng,
+                               mean_factor, std_factor):
+    """Manager exploration noise at the decode frontier, with statistics
+    over positions <= t of the goal-linear activations — exactly the
+    reference's growing-buffer stats (ref bm_hrl_agent.py:444-452).
+    Shared by the bimodal and unimodal agents' decode_frontier.
+    x_full: (B, L, d_goal) f32; returns a (d_goal,) noise vector."""
+    import jax
+
+    pos = jnp.arange(x_full.shape[1])[None, :, None]
+    valid = (pos <= t).astype(jnp.float32)
+    cnt = jnp.asarray(t + 1, jnp.float32) * x_full.shape[0] * d_goal
+    mean = jnp.sum(x_full * valid) / cnt
+    var = jnp.sum((x_full - mean) ** 2 * valid) / cnt
+    mean = jax.lax.stop_gradient(mean / mean_factor)
+    std = jax.lax.stop_gradient(jnp.sqrt(var) / std_factor)
+    return (jax.random.normal(rng, (d_goal,)) * std + mean - 0.5 * mean)

@@ -39,11 +39,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Device-put array fields with the batch dim sharded on `data`;
-    non-array fields (strings, ints) pass through for host use."""
+    non-array fields (strings, ints) pass through for host use. Accepts
+    numpy arrays AND jax.Arrays (e.g. batches the Prefetcher already
+    staged to a single device): device_put re-shards to the mesh layout
+    either way (a no-op when the sharding already matches)."""
     bs = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 1:
+        if isinstance(v, (np.ndarray, jax.Array)) and v.ndim >= 1:
             out[k] = jax.device_put(v, bs)
         else:
             out[k] = v

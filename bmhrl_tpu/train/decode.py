@@ -125,13 +125,10 @@ def _decode_loop_fast(
     model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
     pad_idx, greedy, rng,
 ):
-    """Fully incremental loop over model.decode_step: O(1) positions per
-    token (KV-cached self-attention, carried critic state, folded
-    cross-attention over the raw encoder memories). Exact for
-    exploration=False.
-
-    When the model exposes ``FUSION_PARAM_KEYS`` (BMHrlAgent), two
-    further TPU structure optimizations apply:
+    """Fully incremental decode loop: O(1) positions per token (KV-cached
+    self-attention, carried critic state, folded cross-attention over the
+    raw encoder memories). Exact for exploration=False. Requires the model
+    to expose ``FUSION_PARAM_KEYS`` (BMHrlAgent). TPU structure:
     - the worker and manager fusion stacks — identical architectures —
       run as ONE vmapped computation over params stacked on a leading
       axis of 2 (halves the op count of the loop body);
@@ -142,7 +139,10 @@ def _decode_loop_fast(
       shared across the two stacks by the vmap, and per-token HBM
       traffic — the dominant decode cost at serving batch sizes — drops
       ~2.4x. The worker goal-attention head caches raw worker features
-      the same way (Worker.step_raw)."""
+      the same way (Worker.step_raw);
+    - a validity mask over generated positions (token != PAD) reproduces
+      the full-buffer path's C_mask semantics for the caption-side
+      attentions — a degenerate model can emit PAD mid-caption."""
     L = max_len + 1
     trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
     done0 = jnp.zeros((B,), bool)
@@ -150,47 +150,44 @@ def _decode_loop_fast(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    stacked = hasattr(type(model), "FUSION_PARAM_KEYS")
-    if stacked:
-        # folded-KV path: attend the raw encoder memories directly (shared
-        # across the two stacked fusion stacks — vmap broadcasts them), no
-        # (B, H, Sk, d_k) cross-attention caches at all
-        mem = {"A": Av, "V": Va}
-        fus = make_stacked_fusion(model)
-        wk, mk = model.FUSION_PARAM_KEYS
-        stack2 = lambda a, b: jnp.stack([a, b])  # noqa: E731
-        fus_params = jax.tree.map(
-            stack2, params["params"][wk], params["params"][mk])
-        caches0 = dict(caches0)
-        caches0["fus"] = jax.tree.map(
-            stack2, caches0.pop("wself"), caches0.pop("mself"))
-    else:
-        fusion_kv = model.apply(params, Va, Av, method="precompute_fusion_kv")
+    # folded-KV path: attend the raw encoder memories directly (shared
+    # across the two stacked fusion stacks — vmap broadcasts them), no
+    # (B, H, Sk, d_k) cross-attention caches at all
+    mem = {"A": Av, "V": Va}
+    fus = make_stacked_fusion(model)
+    wk, mk = model.FUSION_PARAM_KEYS
+    stack2 = lambda a, b: jnp.stack([a, b])  # noqa: E731
+    fus_params = jax.tree.map(
+        stack2, params["params"][wk], params["params"][mk])
+    caches0 = dict(caches0)
+    caches0["fus"] = jax.tree.map(
+        stack2, caches0.pop("wself"), caches0.pop("mself"))
+    # PAD-validity of consumed positions (<s> at 0 is valid by definition)
+    valid0 = jnp.zeros((B, L), bool).at[:, 0].set(True)
 
     def cond(carry):
         t, _, done = carry[0], carry[1], carry[2]
         return (t < max_len) & ~jnp.all(done)
 
-    if stacked:
-        from bmhrl_tpu.ops import attention as fused_ops
+    from bmhrl_tpu.ops import attention as fused_ops
 
-        maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
-        maskV = masks_src["V_mask"][:, 0, :]
-        N_layers = fus.N
-        att_scale = 1.0 / float(model.d_model // model.att_heads) ** 0.5
-        use_folded_kernel = (
-            fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
-            and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
+    maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
+    maskV = masks_src["V_mask"][:, 0, :]
+    N_layers = fus.N
+    att_scale = 1.0 / float(model.d_model // model.att_heads) ** 0.5
+    use_folded_kernel = (
+        fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
+        and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
 
-        def collapse(q2):  # (2, B, H, d) -> (B, 2H, d)
-            return q2.transpose(1, 0, 2, 3).reshape(
-                q2.shape[1], 2 * q2.shape[2], q2.shape[3])
+    def collapse(q2):  # (2, B, H, d) -> (B, 2H, d)
+        return q2.transpose(1, 0, 2, 3).reshape(
+            q2.shape[1], 2 * q2.shape[2], q2.shape[3])
 
-        def uncollapse(c):  # (B, 2H, d) -> (2, B, H, d)
-            B_, G, d = c.shape
-            return c.reshape(B_, 2, G // 2, d).transpose(1, 0, 2, 3)
+    def uncollapse(c):  # (B, 2H, d) -> (2, B, H, d)
+        B_, G, d = c.shape
+        return c.reshape(B_, 2, G // 2, d).transpose(1, 0, 2, 3)
 
-    def step_stacked_kernel(c_t, t, fcaches0):
+    def step_stacked_kernel(c_t, t, fcaches0, valid):
         """Per-layer split: the fused Pallas contraction serves both stacks
         with ONE memory read per branch (default —
         ops.attention.enable_folded_kernel)."""
@@ -198,7 +195,8 @@ def _decode_loop_fast(
         fcaches = []
         for i in range(N_layers):
             def pre_i(m, c, cache, _i=i):
-                return m.layers[_i].step_mem_pre(c, t, cache)
+                return m.layers[_i].step_mem_pre(c, t, cache,
+                                                 key_mask=valid)
 
             def one_pre(p, c, cache):
                 return fus.apply({"params": p}, c, cache, method=pre_i)
@@ -220,35 +218,34 @@ def _decode_loop_fast(
             fcaches.append(cache_i)
         return c2, fcaches
 
-    def step_stacked(tok_t, t, caches):
+    def step_stacked(tok_t, t, caches, valid):
         c_t, label_t, crit = model.apply(
             params, tok_t, t, caches["critic"], method="decode_step_head")
         if use_folded_kernel:
-            cf, fcaches = step_stacked_kernel(c_t, t, caches["fus"])
+            cf, fcaches = step_stacked_kernel(c_t, t, caches["fus"], valid)
         else:
             # monolithic vmapped stack step (fastest measured XLA layout:
             # the per-layer split's extra transposes don't pay unless the
             # fused contraction kernel is on)
+            masks = dict(masks_src)
+            masks["C_kpad"] = valid
+
             def one(p, cache):
-                return fus.apply({"params": p}, c_t, t, cache, masks_src,
+                return fus.apply({"params": p}, c_t, t, cache, masks,
                                  mem, method="step_mem")
 
             cf, fcaches = jax.vmap(one)(fus_params, caches["fus"])
         logits_t, goal_cache, hb = model.apply(
             params, cf[0], cf[1], label_t, caches["hb"], caches["goal"], t,
-            method="decode_step_tail")
+            method="decode_step_tail", key_mask=valid)
         return logits_t, {"critic": crit, "fus": fcaches,
                           "goal": goal_cache, "hb": hb}
 
     def body(carry):
-        t, trg, done, rng, probs, caches = carry
+        t, trg, done, rng, probs, caches, valid = carry
         tok_t = trg[jnp.arange(B), t]
-        if stacked:
-            logits_t, caches = step_stacked(tok_t, t, caches)
-        else:
-            logits_t, caches = model.apply(
-                params, tok_t, t, caches, masks_src, fusion_kv,
-                method="decode_step")
+        valid = valid.at[:, t].set(tok_t != pad_idx).at[:, 0].set(True)
+        logits_t, caches = step_stacked(tok_t, t, caches, valid)
         rng, sub = jax.random.split(rng)
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
@@ -258,11 +255,12 @@ def _decode_loop_fast(
         trg = trg.at[:, t + 1].set(nxt)
         probs = probs.at[:, t + 1].set(p_t)
         done = done | (nxt == end_idx)
-        return (t + 1, trg, done, rng, probs, caches)
+        return (t + 1, trg, done, rng, probs, caches, valid)
 
     probs0 = jnp.zeros((B, L), jnp.float32)
     carry = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), trg0, done0, rng, probs0, caches0))
+        cond, body,
+        (jnp.int32(0), trg0, done0, rng, probs0, caches0, valid0))
     return carry[1], carry[4]
 
 
@@ -300,7 +298,8 @@ def decode(
     # mode and models without decode_step.
     if use_fast is None:
         use_fast = not exploration
-    if use_fast and hasattr(type(model), "decode_step") and not exploration:
+    if (use_fast and hasattr(type(model), "FUSION_PARAM_KEYS")
+            and not exploration):
         return _decode_loop_fast(
             model, params, Va, Av, masks_src, B, max_len, start_idx,
             end_idx, pad_idx, greedy, rng)

@@ -350,7 +350,8 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
                     log_stderr(f"Score[0] sum: {float(np.sum(score[0])):.3f}")
 
         pending = None
-        for batch in Prefetcher(train_ds.batches(epoch), cfg.prefetch_batches):
+        for batch in Prefetcher(train_ds.batches(epoch), cfg.prefetch_batches,
+                                sharding=mesh_lib.batch_sharding(mesh)):
             if max_steps_per_epoch is not None and n_steps >= max_steps_per_epoch:
                 break
             rng, step_rng = jax.random.split(rng)

@@ -270,7 +270,13 @@ class StepFactory:
                   train_worker: bool = True):
         """Biased-KL update from the host score + the rl_rollout outputs
         (``roll``). The grad forward re-runs with the same rngs as the
-        rollout, so logits match the sampling distribution exactly.
+        rollout; with the default one-batch-deep pipeline
+        (cfg.rl_pipeline, train/loop.py) the rollout for batch t was taken
+        on params one optimizer step older than this update's forward, so
+        the sampled tokens/probs are one-step off-policy (standard
+        async-RL staleness; `--no_rl_pipeline` restores the reference's
+        strictly sequential on-policy order, where rollout and update
+        logits match exactly).
         ref: train_bimodal_bl (:797-890) + biased_kl (:271-334)."""
         cfg = self.cfg
         V, A, x_idx, y_idx, masks, rngs, _ = self._prep(batch, rng)

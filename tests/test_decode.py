@@ -111,3 +111,31 @@ def test_fast_decode_matches_full(model_setup):
     np.testing.assert_array_equal(np.asarray(full_toks), np.asarray(fast_toks))
     np.testing.assert_allclose(np.asarray(full_probs), np.asarray(fast_probs),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fast_decode_matches_full_with_pad_emissions(model_setup):
+    """A degenerate model that greedily emits PAD mid-caption: the fast
+    path's validity mask must reproduce the full path's C_mask exclusion
+    of PAD key positions (regression for the pos<=t-only masking)."""
+    from bmhrl_tpu.train import decode as D
+
+    model, params, feats, trg, masks = model_setup
+    p = jax.tree.map(lambda x: x, params)  # shallow copy
+    proj = dict(p["params"]["worker"]["projection"])
+    proj["bias"] = proj["bias"].at[1].add(10.0)  # PAD always wins argmax
+    p = {"params": dict(p["params"],
+                        worker=dict(p["params"]["worker"],
+                                    projection=proj))}
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    V = feats["rgb"] + feats["flow"]
+    A = feats["audio"]
+    Va, Av = model.apply(p, V, A, masks_src, method="encode")
+    full_toks, full_probs = D._decode_loop(
+        model, p, Va, Av, masks_src, B, 8, 2, 3, 1, True, None)
+    fast_toks, fast_probs = D._decode_loop_fast(
+        model, p, Va, Av, masks_src, B, 8, 2, 3, 1, True, None)
+    assert (np.asarray(full_toks)[:, 1:] == 1).any(), "PAD must be emitted"
+    np.testing.assert_array_equal(np.asarray(full_toks),
+                                  np.asarray(fast_toks))
+    np.testing.assert_allclose(np.asarray(full_probs),
+                               np.asarray(fast_probs), rtol=1e-4, atol=1e-5)

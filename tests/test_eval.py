@@ -36,6 +36,7 @@ def test_meteor_paraphrase_stage(tmp_path):
     table.write_text(
         "jumps over ||| leaps across\n"
         "0.35 ||| automobile ||| car\n"          # numeric weight ignored
+        "[X] ||| lorry ||| truck ||| Feature=1 ||| 0-0\n"  # PPDB layout
         "sprinting\tdashing quickly\n"           # TSV, 1-to-2 words
         "# comment line\n")
     with_p = MeteorScorer("meteor15", paraphrase_path=str(table))
@@ -54,6 +55,13 @@ def test_meteor_paraphrase_stage(tmp_path):
     assert with_p._single(hyp2, ref2) > without._single(hyp2, ref2)
     # numeric-weight '|||' rows parse into the table
     assert "car" in with_p.paraphrases.matches("automobile")
+    # PPDB layout: LHS tag and feature fields are NOT phrases
+    assert "truck" in with_p.paraphrases.matches("lorry")
+    assert not with_p.paraphrases.matches("[x]")
+    # the nltk preset is a parity target: a configured table must not
+    # change it (the stage only belongs to meteor15)
+    nltk_p = MeteorScorer("nltk", paraphrase_path=str(table))
+    assert nltk_p.paraphrases is None
     # no table -> word-stage behavior is unchanged
     assert without.align_spans(hyp, ref) == [
         (i, 1, j, 1, s) for i, j, s in without.align(hyp, ref)]

@@ -53,3 +53,28 @@ def test_orbax_trainstate_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prefetcher_staged_batch_shards_on_mesh():
+    """Regression: shard_batch must re-shard batches the Prefetcher already
+    staged as single-device jax.Arrays — skipping them left multi-chip
+    training with an unsharded batch."""
+    from bmhrl_tpu.data.dataset import Prefetcher
+    from bmhrl_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh((4, 2), jax.devices()[:8])
+    batch = {"rgb": np.ones((8, 4, 6), np.float32),
+             "caption_idx": np.zeros((8, 5), np.int32),
+             "video_ids": ["v"] * 8}
+    # default staging (no sharding arg): single-device jax.Arrays
+    (staged,) = list(Prefetcher(iter([dict(batch)]), depth=2))
+    assert isinstance(staged["rgb"], jax.Array)
+    out = mesh_lib.shard_batch(mesh, staged)
+    data_sh = mesh_lib.batch_sharding(mesh)
+    assert out["rgb"].sharding.is_equivalent_to(data_sh, out["rgb"].ndim)
+    assert out["video_ids"] == ["v"] * 8
+    # sharding-aware staging lands in the mesh layout directly
+    (staged2,) = list(Prefetcher(iter([dict(batch)]), depth=2,
+                                 sharding=data_sh))
+    assert staged2["rgb"].sharding.is_equivalent_to(data_sh,
+                                                    staged2["rgb"].ndim)
