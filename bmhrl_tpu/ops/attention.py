@@ -12,7 +12,12 @@ optional causal tril, f32 accumulation.
 
 Used by MultiheadedAttention when `enable_flash(True)` has been called and
 shapes qualify (Sk >= MIN_SK, d_k aligned); everything else takes the XLA
-path — XLA already fuses well at caption-size sequences.
+path — XLA already fuses well at caption-size sequences. Measured on the
+v5e at the production encoder shapes (B=1024, Sa=256): 164 ms vs 114 ms
+for the XLA encode — the grid=(B*H, q-tiles) single-row programs carry
+the same per-program overhead the first folded_attend layout did, so the
+kernel stays opt-in at these lengths (it pays at longer sources, where
+score materialization dominates).
 """
 from __future__ import annotations
 
