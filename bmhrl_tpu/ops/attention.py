@@ -13,11 +13,14 @@ optional causal tril, f32 accumulation.
 Used by MultiheadedAttention when `enable_flash(True)` has been called and
 shapes qualify (Sk >= MIN_SK, d_k aligned); everything else takes the XLA
 path — XLA already fuses well at caption-size sequences. Measured on the
-v5e at the production encoder shapes (B=1024, Sa=256): 164 ms vs 114 ms
-for the XLA encode — the grid=(B*H, q-tiles) single-row programs carry
-the same per-program overhead the first folded_attend layout did, so the
-kernel stays opt-in at these lengths (it pays at longer sources, where
-score materialization dominates).
+v5e encoder: 147 ms vs 114 ms XLA at (B=1024, Sa=256) and 241 vs 163 ms
+at the dataset's upper range (B=256, Sv=300, Sa=800), after making the
+kernel dtype-preserving (bf16 streams at half the HBM traffic of the
+earlier forced-f32 version, which measured 164 ms). XLA's fused
+attention wins at every measured shape on this platform — the kernel
+stays opt-in, kept for platforms with cheaper pallas program launches
+and for sources long enough that (B, H, S, S) score materialization
+dominates.
 """
 from __future__ import annotations
 
@@ -64,7 +67,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int,
 
     bq, d = q_ref.shape
     qb = pl.program_id(1)
-    q = q_ref[:] * scale  # (bq, d) f32
+    q = q_ref[:]  # (bq, d) input dtype; scale applied to f32 scores
 
     m_i = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l_i = jnp.zeros((bq, 1), jnp.float32)
@@ -78,7 +81,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int,
         v = v_ref[pl.ds(kb * bk, bk), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (bq, bk)
+            preferred_element_type=jnp.float32) * scale  # (bq, bk) f32
         mask_tile = mask_ref[:, pl.ds(kb * bk, bk)]  # (1, bk)
         s = jnp.where(mask_tile > 0, s, NEG_INF)
         if causal:
@@ -91,7 +94,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int,
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
@@ -173,11 +176,14 @@ def flash_attention(
 
 
 def _flash_forward_impl(q, k, v, mask, causal):
+    # dtype-preserving: bf16 q/k/v stream at half the HBM traffic, with the
+    # same f32 score/accumulator math as scaled_dot_attention (which also
+    # feeds bf16 into its einsums with f32 accumulation)
     B, H, Sq, d = q.shape
     Sk = k.shape[2]
-    qf = q.reshape(B * H, Sq, d).astype(jnp.float32)
-    kf = k.reshape(B * H, Sk, d).astype(jnp.float32)
-    vf = v.reshape(B * H, Sk, d).astype(jnp.float32)
+    qf = q.reshape(B * H, Sq, d)
+    kf = k.reshape(B * H, Sk, d)
+    vf = v.reshape(B * H, Sk, d)
     if mask is None:
         key_mask = jnp.ones((B, Sk), jnp.int32)
     else:
