@@ -60,24 +60,81 @@ class UnimodalFusionLayer(nn.Module):
     H: int
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, C, memory, m1_mask, c_mask, deterministic: bool = True):
-        self_att = MultiheadedAttention(
+    def setup(self):
+        self.self_att = MultiheadedAttention(
             self.d_model_C, self.d_model_C, self.d_model_C, self.H,
             self.dout_p, self.d_model, dtype=self.dtype, name="self_att")
-        enc_att = MultiheadedAttention(
+        self.enc_att = MultiheadedAttention(
             self.d_model_C, self.d_m1, self.d_m1, self.H, self.dout_p,
             self.d_model, dtype=self.dtype, name="enc_att")
-        res_self = ResidualConnection(self.d_model_C, self.dout_p,
-                                      name="res_self_att")
-        res_enc = ResidualConnection(self.d_model_C, self.dout_p,
-                                     name="res_enc_att")
+        self.res_self = ResidualConnection(self.d_model_C, self.dout_p,
+                                           name="res_self_att")
+        self.res_enc = ResidualConnection(self.d_model_C, self.dout_p,
+                                          name="res_enc_att")
+        self.normC = nn.LayerNorm(epsilon=1e-5, name="normC")
+
+    def __call__(self, C, memory, m1_mask, c_mask, deterministic: bool = True):
         det = deterministic
-        C = res_self(C, lambda h: self_att(h, h, h, c_mask, deterministic=det), det)
-        Cm = res_enc(C, lambda h: enc_att(h, memory, memory, m1_mask,
-                                          deterministic=det), det)
-        Cm = nn.LayerNorm(epsilon=1e-5, name="normC")(Cm.astype(jnp.float32))
+        C = self.res_self(
+            C, lambda h: self.self_att(h, h, h, c_mask, deterministic=det),
+            det)
+        Cm = self.res_enc(
+            C, lambda h: self.enc_att(h, memory, memory, m1_mask,
+                                      deterministic=det), det)
+        Cm = self.normC(Cm.astype(jnp.float32))
         return Cm.astype(self.dtype)
+
+    def step_mem(self, c_t, t, cache, m1_mask, mem,
+                 deterministic: bool = True, key_mask=None):
+        """Single-position fusion step: KV-cached self-attention (merged
+        QKV matmul) + folded cross-attention over the RAW modality memory
+        (no K/V caches materialized) — the unimodal mirror of
+        BMFusionLayer.step_mem. Token-exact with ``__call__``'s row t up
+        to bf16 reassociation."""
+        det = deterministic
+        h = self.res_self.pre(c_t).astype(c_t.dtype)
+        out, k, v = self.self_att.attend_step_shared(
+            h, cache["k"], cache["v"], t, det, key_mask=key_mask)
+        C = self.res_self.post(c_t, out.astype(c_t.dtype), det)
+        he = self.res_enc.pre(C).astype(c_t.dtype)
+        out_e = self.enc_att.attend_folded(he, mem, m1_mask,
+                                           deterministic=det)
+        Cm = self.res_enc.post(C, out_e.astype(c_t.dtype), det)
+        Cm = self.normC(Cm.astype(jnp.float32))
+        return Cm.astype(self.dtype), {"k": k, "v": v}
+
+
+class UnimodalFusionStack(nn.Module):
+    """Standalone N-layer stack with ``layer_{i}`` naming — the decode loop
+    maps the agent's flat ``uni_{worker,manager}_fus_layer_{i}`` param keys
+    onto it and runs both stacks as ONE vmapped computation over params
+    stacked on a leading axis of 2 (same trick as train/decode's stacked
+    BMFusion)."""
+
+    d_m1: int
+    d_model_C: int
+    d_model: int
+    d_ff_c: int
+    dout_p: float
+    H: int
+    N: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.layers = [
+            UnimodalFusionLayer(
+                self.d_m1, self.d_model_C, self.d_model, self.d_ff_c,
+                self.dout_p, self.H, dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.N)]
+
+    def step_mem(self, c_t, t, caches, m1_mask, mem,
+                 deterministic: bool = True, key_mask=None):
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            c_t, cache = layer.step_mem(c_t, t, cache, m1_mask, mem,
+                                        deterministic, key_mask=key_mask)
+            new_caches.append(cache)
+        return c_t, new_caches
 
 
 class UnimodalAgent(nn.Module):
@@ -175,6 +232,20 @@ class UnimodalAgent(nn.Module):
                            valid_len)
 
     # -- incremental decode support (same contract as BMHrlAgent) -----------
+    # flat param-key prefixes of the two identically-shaped fusion stacks;
+    # the decode loop collects {prefix}_layer_{i} subtrees into a
+    # UnimodalFusionStack tree and vmaps over them stacked on axis 0
+    UNI_FUSION_PARAM_PREFIXES = ("uni_worker_fus", "uni_manager_fus")
+
+    def make_fusion_stack(self):
+        """Unbound UnimodalFusionStack matching this agent's hyperparams
+        (constructed standalone — flax forbids helper calls on unbound
+        modules)."""
+        return UnimodalFusionStack(
+            d_m1=self.d_m1, d_model_C=self.d_model_caps,
+            d_model=self.d_model, d_ff_c=self.d_ff_m1, dout_p=self.dout_p,
+            H=self.att_heads, N=self.att_layers, dtype=self.dtype)
+
     def critic_init_state(self, B: int):
         return self.critic.init_state(B)
 
@@ -182,6 +253,43 @@ class UnimodalAgent(nn.Module):
         emb_t = self.emb_C(token_t[:, None])[:, 0]
         score, state = self.critic.step(emb_t, state)
         return score[:, 0], state
+
+    def init_decode_caches(self, B: int, L: int):
+        def mha_cache(mha):
+            z = jnp.zeros(mha.kv_cache_shape(B, L), self.dtype)
+            return {"k": z, "v": jnp.zeros_like(z)}
+
+        return {
+            "critic": self.critic.init_state(B),
+            "wself": [mha_cache(l.self_att) for l in self.uni_worker_fus],
+            "mself": [mha_cache(l.self_att) for l in self.uni_manager_fus],
+            "goal": jnp.zeros((B, L, self.d_model_caps), self.dtype),
+            "hb": jnp.zeros((B,), bool),
+        }
+
+    def decode_step_head(self, tok_t, t, crit_state):
+        """Embed token t, advance the frozen critic, position-encode — the
+        shared prefix of the incremental decode step (same contract as
+        BMHrlAgent.decode_step_head)."""
+        from bmhrl_tpu.models.blocks import sinusoid_table
+
+        emb_t = self.emb_C(tok_t[:, None])
+        score_t, crit = self.critic.step(emb_t[:, 0], crit_state)
+        label_t = (nn.sigmoid(score_t[:, 0])
+                   > self.critic_score_threshold).astype(jnp.int32)
+        table = jnp.asarray(sinusoid_table(3660, self.d_model_caps))
+        c_t = (emb_t + table[t][None, None, :]).astype(self.dtype)
+        return c_t, label_t, crit
+
+    def decode_step_tail(self, wf_t, mf_t, label_t, hb, goal_cache, t,
+                         deterministic: bool = True, key_mask=None):
+        """Goal emission + worker head (same contract as
+        BMHrlAgent.decode_step_tail)."""
+        hb = hb | label_t.astype(bool)
+        goal_t = self.manager.goal_step(mf_t, label_t, hb, deterministic)
+        logits, goal_cache = self.worker.step_raw(
+            wf_t, goal_t, goal_cache, t, deterministic, key_mask=key_mask)
+        return logits, goal_cache, hb
 
     def decode_with_labels(self, trg, segment_labels, Va, Av, masks,
                            exploration=False, deterministic: bool = True):

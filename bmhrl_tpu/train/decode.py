@@ -40,6 +40,16 @@ def make_stacked_fusion(model):
         N=model.att_layers, dtype=model.dtype)
 
 
+def make_stacked_uni_fusion(model):
+    """Standalone UnimodalFusionStack with the agent's hyperparams."""
+    from bmhrl_tpu.models.unimodal import UnimodalFusionStack
+
+    return UnimodalFusionStack(
+        d_m1=model.d_m1, d_model_C=model.d_model_caps,
+        d_model=model.d_model, d_ff_c=model.d_ff_m1, dout_p=model.dout_p,
+        H=model.att_heads, N=model.att_layers, dtype=model.dtype)
+
+
 def _decode_loop(
     model,
     params,
@@ -153,12 +163,26 @@ def _decode_loop_fast(
     # folded-KV path: attend the raw encoder memories directly (shared
     # across the two stacked fusion stacks — vmap broadcasts them), no
     # (B, H, Sk, d_k) cross-attention caches at all
-    mem = {"A": Av, "V": Va}
-    fus = make_stacked_fusion(model)
-    wk, mk = model.FUSION_PARAM_KEYS
     stack2 = lambda a, b: jnp.stack([a, b])  # noqa: E731
-    fus_params = jax.tree.map(
-        stack2, params["params"][wk], params["params"][mk])
+    bimodal = hasattr(type(model), "FUSION_PARAM_KEYS")
+    if bimodal:
+        mem = {"A": Av, "V": Va}
+        fus = make_stacked_fusion(model)
+        wk, mk = model.FUSION_PARAM_KEYS
+        fus_params = jax.tree.map(
+            stack2, params["params"][wk], params["params"][mk])
+    else:  # unimodal: one memory, flat per-layer param keys
+        mem = Va  # encode() returns the single modality memory in both slots
+        fus = make_stacked_uni_fusion(model)
+        wk, mk = model.UNI_FUSION_PARAM_PREFIXES
+
+        def collect(prefix):
+            return {f"layer_{i}": params["params"][f"{prefix}_layer_{i}"]
+                    for i in range(model.att_layers)}
+
+        fus_params = jax.tree.map(stack2, collect(wk), collect(mk))
+        m1_mask_row = (masks_src["A_mask"] if model.modality == "audio"
+                       else masks_src["V_mask"])
     caches0 = dict(caches0)
     caches0["fus"] = jax.tree.map(
         stack2, caches0.pop("wself"), caches0.pop("mself"))
@@ -171,13 +195,16 @@ def _decode_loop_fast(
 
     from bmhrl_tpu.ops import attention as fused_ops
 
-    maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
-    maskV = masks_src["V_mask"][:, 0, :]
     N_layers = fus.N
     att_scale = 1.0 / float(model.d_model // model.att_heads) ** 0.5
-    use_folded_kernel = (
-        fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
-        and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
+    if bimodal:
+        maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
+        maskV = masks_src["V_mask"][:, 0, :]
+        use_folded_kernel = (
+            fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
+            and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
+    else:
+        use_folded_kernel = False
 
     def collapse(q2):  # (2, B, H, d) -> (B, 2H, d)
         return q2.transpose(1, 0, 2, 3).reshape(
@@ -223,7 +250,7 @@ def _decode_loop_fast(
             params, tok_t, t, caches["critic"], method="decode_step_head")
         if use_folded_kernel:
             cf, fcaches = step_stacked_kernel(c_t, t, caches["fus"], valid)
-        else:
+        elif bimodal:
             # monolithic vmapped stack step (fastest measured XLA layout:
             # the per-layer split's extra transposes don't pay unless the
             # fused contraction kernel is on)
@@ -233,6 +260,12 @@ def _decode_loop_fast(
             def one(p, cache):
                 return fus.apply({"params": p}, c_t, t, cache, masks,
                                  mem, method="step_mem")
+
+            cf, fcaches = jax.vmap(one)(fus_params, caches["fus"])
+        else:
+            def one(p, cache):
+                return fus.apply({"params": p}, c_t, t, cache, m1_mask_row,
+                                 mem, key_mask=valid, method="step_mem")
 
             cf, fcaches = jax.vmap(one)(fus_params, caches["fus"])
         logits_t, goal_cache, hb = model.apply(
@@ -298,8 +331,9 @@ def decode(
     # mode and models without decode_step.
     if use_fast is None:
         use_fast = not exploration
-    if (use_fast and hasattr(type(model), "FUSION_PARAM_KEYS")
-            and not exploration):
+    incremental = (hasattr(type(model), "FUSION_PARAM_KEYS")
+                   or hasattr(type(model), "UNI_FUSION_PARAM_PREFIXES"))
+    if use_fast and incremental and not exploration:
         return _decode_loop_fast(
             model, params, Va, Av, masks_src, B, max_len, start_idx,
             end_idx, pad_idx, greedy, rng)

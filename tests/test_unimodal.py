@@ -71,3 +71,33 @@ def test_unimodal_decode():
     toks, probs = decode(model, params, feats, masks_src, 6, 2, 3, 1)
     assert toks.shape == (B, 7)
     assert (np.asarray(toks)[:, 0] == 2).all()
+
+
+@pytest.mark.parametrize("family", [AudioAgent, VideoAgent])
+def test_unimodal_fast_decode_matches_full(family):
+    """The incremental (stacked, folded cross-attention) unimodal decode
+    must produce exactly the tokens of the full-buffer frontier path."""
+    from bmhrl_tpu.train import decode as D
+
+    cfg = tiny_cfg()
+    model = family.build(cfg, VOC, jnp.float32)
+    b = batch_np()
+    feats = {k: jnp.asarray(b[k]) for k in ("rgb", "flow", "audio")}
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    trg = jnp.asarray(b["caption_idx"])
+    masks = make_masks(feats, trg[:, :-1], "audio_video", 1)
+    k = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(
+        {"params": k, "dropout": k, "noise": k},
+        (feats["rgb"] + feats["flow"], feats["audio"]), trg[:, :-1], masks)
+    V = feats["rgb"] + feats["flow"]
+    A = feats["audio"]
+    Va, Av = model.apply(params, V, A, masks_src, method="encode")
+    full_toks, full_probs = D._decode_loop(
+        model, params, Va, Av, masks_src, B, 6, 2, 3, 1, True, None)
+    fast_toks, fast_probs = D._decode_loop_fast(
+        model, params, Va, Av, masks_src, B, 6, 2, 3, 1, True, None)
+    np.testing.assert_array_equal(np.asarray(full_toks),
+                                  np.asarray(fast_toks))
+    np.testing.assert_allclose(np.asarray(full_probs),
+                               np.asarray(fast_probs), rtol=1e-4, atol=1e-5)
