@@ -327,8 +327,9 @@ def decode(
     # path (tested) and measured faster at every batch size on the v5e
     # (B=256: ~3000 vs 943 clips/s; 4477 at B=1024 with the fused folded
     # contraction, since no per-layer K/V caches are materialized) —
-    # default ON; the full-buffer frontier loop remains for exploration
-    # mode and models without decode_step.
+    # default ON for BMHRL and the unimodal agents; the full-buffer
+    # frontier loop remains for exploration mode and models without an
+    # incremental step contract (DETR).
     if use_fast is None:
         use_fast = not exploration
     incremental = (hasattr(type(model), "FUSION_PARAM_KEYS")
