@@ -309,6 +309,90 @@ def export_torch_bmhrl(params: Dict[str, Any], path: str, n_layers: int = 2,
     return path
 
 
+def export_torch_unimodal(params: Dict[str, Any], path: str, *,
+                          n_layers: int = 2, d_ff_c: int = 2048):
+    """Export a flax UnimodalAgent (AHRL/VHRL) as the reference
+    ``unimodal_hrl_agent.pt`` state dict (model/bm_hrl_agent.py:663-799),
+    emitting the reference's dead parameters (each fusion layer's unapplied
+    feed_forward, the encoder's unused middle residual LayerNorm, and
+    Manager.core) so a strict ``load_state_dict`` succeeds."""
+    import torch
+
+    p = jax.tree.map(np.asarray, params.get("params", params))
+    sd: Dict[str, Any] = {}
+
+    def put(key, arr):
+        sd[key] = torch.tensor(np.asarray(arr))
+
+    def dense(prefix, t):
+        put(f"{prefix}.weight", t["kernel"].T)
+        put(f"{prefix}.bias", t["bias"])
+
+    def ln(prefix, t):
+        put(f"{prefix}.weight", t["scale"])
+        put(f"{prefix}.bias", t["bias"])
+
+    def mha(prefix, t):
+        for n in ["linear_Q2d", "linear_K2d", "linear_V2d", "linear_d2Q"]:
+            dense(f"{prefix}.{n}", t[n])
+
+    put("emb_C.embedder.weight", p["emb_C"]["embedding"]["embedding"])
+    crit = p["critic"]
+    for l in range(4):
+        for k in ["weight_ih", "weight_hh", "bias_ih", "bias_hh"]:
+            put(f"critic.lstm.{k}_l{l}", crit[f"lstm_l{l}"][k])
+    for l in range(2):
+        for k in ["weight_ih", "weight_hh", "bias_ih", "bias_hh"]:
+            put(f"critic.gru.{k}_l{l}", crit[f"gru_l{l}"][k])
+    dense("critic.lin", crit["lin"])
+    for r in ["relu", "relu2"]:
+        put(f"critic.{r}.alpha", crit[r]["alpha"])
+        put(f"critic.{r}.beta", crit[r]["beta"])
+
+    d_m1 = p["uni_enc_layer_0"]["self_att_M1"]["linear_Q2d"]["kernel"].shape[0]
+    for i in range(n_layers):
+        layer = p[f"uni_enc_layer_{i}"]
+        pref = f"uni_enc.encoder.layers.{i}"
+        mha(f"{pref}.self_att_M1", layer["self_att_M1"])
+        dense(f"{pref}.feed_forward_M1.fc1", layer["ff_M1"]["fc1"])
+        dense(f"{pref}.feed_forward_M1.fc2", layer["ff_M1"]["fc2"])
+        ln(f"{pref}.res_layers_M1.0.norm", layer["res_M1_0"]["norm"])
+        ln(f"{pref}.res_layers_M1.2.norm", layer["res_M1_2"]["norm"])
+        # unused middle residual slot (the reference clones 3, applies 0 & 2)
+        put(f"{pref}.res_layers_M1.1.norm.weight", np.ones((d_m1,), np.float32))
+        put(f"{pref}.res_layers_M1.1.norm.bias", np.zeros((d_m1,), np.float32))
+
+    d_caps = p["manager"]["linear"]["kernel"].shape[0]
+    d_goal = p["manager"]["linear"]["kernel"].shape[1]
+    for name in ["uni_worker_fus", "uni_manager_fus"]:
+        for i in range(n_layers):
+            layer = p[f"{name}_layer_{i}"]
+            pref = f"{name}.decoder.layers.{i}"
+            mha(f"{pref}.self_att", layer["self_att"])
+            mha(f"{pref}.enc_att", layer["enc_att"])
+            ln(f"{pref}.res_layer_self_att.norm", layer["res_self_att"]["norm"])
+            ln(f"{pref}.res_layer_enc_att.norm", layer["res_enc_att"]["norm"])
+            ln(f"{pref}.normC", layer["normC"])
+            # dead feed_forward (constructed, never applied; width d_ff_c
+            # = the agent's d_ff_m1)
+            d_ff = d_ff_c
+            put(f"{pref}.feed_forward.fc1.weight",
+                np.zeros((d_ff, d_caps), np.float32))
+            put(f"{pref}.feed_forward.fc1.bias", np.zeros((d_ff,), np.float32))
+            put(f"{pref}.feed_forward.fc2.weight",
+                np.zeros((d_caps, d_ff), np.float32))
+            put(f"{pref}.feed_forward.fc2.bias",
+                np.zeros((d_caps,), np.float32))
+
+    dense("manager.linear", p["manager"]["linear"])
+    put("manager.core.linear.weight", np.zeros((d_goal, d_caps), np.float32))
+    put("manager.core.linear.bias", np.zeros((d_goal,), np.float32))
+    mha("worker.goal_attention", p["worker"]["goal_attention"])
+    dense("worker.core.projection", p["worker"]["projection"])
+    torch.save(sd, path)
+    return path
+
+
 def export_torch_detr(params: Dict[str, Any], path: str, *,
                       d_goal: int = 64, num_layers: int = 3,
                       n_time: int = 3, dim_ff: int = 2048,
