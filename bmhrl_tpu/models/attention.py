@@ -128,6 +128,41 @@ class MultiheadedAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, self._d)
         return self.linear_d2Q(out), k_cache, v_cache
 
+    def attend_step_qkv(self, q_in, k_in, v_in, k_cache, v_cache, t,
+                        deterministic: bool = True, key_mask=None):
+        """Generic single-position causal attention with a KV cache where
+        query/key/value come from (possibly) different inputs — the DETR
+        decoder's self-attention projects Q and K from the pos-encoded
+        stream but V from the raw stream (models/detr.py). Writes the
+        projected k/v of position t, attends keys <= t (AND key_mask when
+        given). q_in/k_in/v_in: (B, 1, D)."""
+        import jax
+
+        q = self._heads(self.linear_Q2d(q_in.astype(self.dtype)))
+        k_t = self._heads(self.linear_K2d(k_in.astype(self.dtype)))
+        v_t = self._heads(self.linear_V2d(v_in.astype(self.dtype)))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_t.astype(k_cache.dtype), t, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_t.astype(v_cache.dtype), t, axis=2)
+        L = k_cache.shape[2]
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_cache,
+            preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(self._d_k, jnp.float32))
+        pos = jnp.arange(L)[None, None, None, :]
+        ok = pos <= t
+        if key_mask is not None:
+            ok = ok & key_mask[:, None, None, :]
+        scores = jnp.where(ok, scores, NEG_INF)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v_cache.dtype),
+                         v_cache, preferred_element_type=jnp.float32)
+        out = self.dropout(out, deterministic=deterministic)
+        B = q_in.shape[0]
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, self._d)
+        return self.linear_d2Q(out), k_cache, v_cache
+
     def folded_weights(self):
         """Fold the K/V projections out of the per-token path (associativity):
 

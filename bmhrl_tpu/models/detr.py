@@ -96,27 +96,39 @@ class DetrDecoderLayer(nn.Module):
     d_obj: int = 256
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        dd = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
+        self.self_attn = MultiheadedAttention(
+            self.d_model_C, self.d_model_C, self.d_model_C, self.nhead,
+            name="self_attn", **dd)
+        self.multihead_attn = MultiheadedAttention(
+            self.d_model_C, self.d_model, self.d_model, self.nhead,
+            name="multihead_attn", **dd)
+        self.goal_attention = MultiheadedAttention(
+            self.d_model_C, self.d_goal, self.d_goal, self.nhead,
+            name="goal_attention", **dd)
+        self.detected_attention = MultiheadedAttention(
+            self.d_model_C, self.d_obj, self.d_obj, self.nhead,
+            name="detected_attention", **dd)
+        self.norms = {i: nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")
+                      for i in (1, 2, 3, 4, 5)}
+        self.drops = {i: nn.Dropout(self.dout_p, name=f"dropout{i}")
+                      for i in (1, 2, 3, 4, 5)}
+        self.linear1 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")
+        self.linear2 = nn.Dense(self.d_model_C, dtype=self.dtype,
+                                name="linear2")
+        self.ff_drop = nn.Dropout(self.dout_p)
+
     def __call__(self, tgt, memory, memory_mask, pos_enc, query_pos_enc,
                  query_mask, goal=None, goal_mask=None, goal_pos_enc=None,
                  add_pos: Optional[jnp.ndarray] = None,
                  detected_objects=None, deterministic: bool = True):
-        dd = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
-        self_attn = MultiheadedAttention(
-            self.d_model_C, self.d_model_C, self.d_model_C, self.nhead,
-            name="self_attn", **dd)
-        cross_attn = MultiheadedAttention(
-            self.d_model_C, self.d_model, self.d_model, self.nhead,
-            name="multihead_attn", **dd)
-        goal_attn = MultiheadedAttention(
-            self.d_model_C, self.d_goal, self.d_goal, self.nhead,
-            name="goal_attention", **dd)
-        det_attn = MultiheadedAttention(
-            self.d_model_C, self.d_obj, self.d_obj, self.nhead,
-            name="detected_attention", **dd)
+        self_attn = self.self_attn
+        cross_attn = self.multihead_attn
+        goal_attn = self.goal_attention
+        det_attn = self.detected_attention
         det = deterministic
-        drop = lambda i, x: nn.Dropout(self.dout_p, name=f"dropout{i}")(
-            x, deterministic=det)
+        drop = lambda i, x: self.drops[i](x, deterministic=det)
 
         if add_pos is None:
             q = k = query_pos_enc(tgt, det)
@@ -126,30 +138,68 @@ class DetrDecoderLayer(nn.Module):
             causal = False
         tgt2 = self_attn(q, k, tgt, query_mask, causal=causal, deterministic=det)
         # reference order: norm BEFORE the residual add (decoder.py:77-78)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt.astype(jnp.float32)).astype(self.dtype)
+        tgt = self.norms[1](tgt.astype(jnp.float32)).astype(self.dtype)
         tgt = tgt + drop(1, tgt2)
 
         tgt2 = cross_attn(q, pos_enc(memory, det), memory, memory_mask,
                           deterministic=det)
         tgt = tgt + drop(2, tgt2)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt.astype(jnp.float32)).astype(self.dtype)
+        tgt = self.norms[2](tgt.astype(jnp.float32)).astype(self.dtype)
         if goal is not None:
             tgt2 = goal_attn(query_pos_enc(tgt, det), goal_pos_enc(goal, det),
                              goal, goal_mask, deterministic=det)
             tgt = tgt + drop(4, tgt2)
-            tgt = nn.LayerNorm(epsilon=1e-5, name="norm4")(tgt.astype(jnp.float32)).astype(self.dtype)
+            tgt = self.norms[4](tgt.astype(jnp.float32)).astype(self.dtype)
         if detected_objects is not None:
             # the reference drops the object mask (decoder.py:107)
             tgt2 = det_attn(q, detected_objects, detected_objects, None,
                             deterministic=det)
             tgt = tgt + drop(5, tgt2)
-            tgt = nn.LayerNorm(epsilon=1e-5, name="norm5")(tgt.astype(jnp.float32)).astype(self.dtype)
-        h = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(tgt)
+            tgt = self.norms[5](tgt.astype(jnp.float32)).astype(self.dtype)
+        h = self.linear1(tgt)
         h = nn.relu(h)
-        h = nn.Dropout(self.dout_p)(h, deterministic=det)
-        tgt2 = nn.Dense(self.d_model_C, dtype=self.dtype, name="linear2")(h)
+        h = self.ff_drop(h, deterministic=det)
+        tgt2 = self.linear2(h)
         tgt = tgt + drop(3, tgt2)
-        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt.astype(jnp.float32)).astype(self.dtype)
+        return self.norms[3](tgt.astype(jnp.float32)).astype(self.dtype)
+
+    def step(self, tgt_t, t, cache, memory_mask, kv_mem, obj_mem, pe_row,
+             deterministic: bool = True, key_mask=None):
+        """Single-position decode step for the caption path (add_pos=None,
+        no goal stream): KV-cached causal self-attention (Q/K from the
+        pos-encoded stream, V from the raw stream — the reference quirk),
+        cross-attention against per-clip precomputed projected memory K/V,
+        folded object attention over the raw detected-object embeddings
+        (mask dropped, like the reference), then the FFN with the
+        reference's norm-before/after-residual orders. tgt_t: (B, 1, Dc)
+        raw stream position; pe_row: (1, 1, Dc) positional-encoding row t;
+        kv_mem from multihead_attn.project_kv(pos_enc(memory), memory);
+        obj_mem: (B, 100, d_obj) raw. Token-exact with ``__call__``'s
+        row t."""
+        det = deterministic
+        q_t = (tgt_t + pe_row).astype(self.dtype)
+        tgt2, k, v = self.self_attn.attend_step_qkv(
+            q_t, q_t, tgt_t, cache["k"], cache["v"], t, det,
+            key_mask=key_mask)
+        tgt = self.norms[1](tgt_t.astype(jnp.float32)).astype(self.dtype)
+        tgt = tgt + tgt2.astype(self.dtype)
+
+        tgt2 = self.multihead_attn(q_t, None, None, memory_mask,
+                                   deterministic=det, precomputed_kv=kv_mem)
+        tgt = tgt + tgt2.astype(self.dtype)
+        tgt = self.norms[2](tgt.astype(jnp.float32)).astype(self.dtype)
+
+        tgt2 = self.detected_attention.attend_folded(
+            q_t, obj_mem, None, deterministic=det)
+        tgt = tgt + tgt2.astype(self.dtype)
+        tgt = self.norms[5](tgt.astype(jnp.float32)).astype(self.dtype)
+
+        h = self.linear1(tgt)
+        h = nn.relu(h)
+        tgt2 = self.linear2(h)
+        tgt = tgt + tgt2.astype(self.dtype)
+        return (self.norms[3](tgt.astype(jnp.float32)).astype(self.dtype),
+                {"k": k, "v": v})
 
 
 class DetrDecoder(nn.Module):
@@ -165,21 +215,51 @@ class DetrDecoder(nn.Module):
     d_obj: int = 256
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            DetrDecoderLayer(
+                self.d_model, self.nhead, self.d_model_C, self.d_goal,
+                self.dim_ff, self.dout_p, self.d_obj, self.dtype,
+                name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+
     def __call__(self, tgt, memory, memory_mask, pos_enc, query_pos_enc,
                  query_mask, goal=None, goal_mask=None, goal_pos_enc=None,
                  add_pos=None, detected_objects=None,
                  deterministic: bool = True):
         out = tgt
-        for i in range(self.num_layers):
-            out = DetrDecoderLayer(
-                self.d_model, self.nhead, self.d_model_C, self.d_goal,
-                self.dim_ff, self.dout_p, self.d_obj, self.dtype,
-                name=f"layer_{i}")(
+        for layer in self.layers:
+            out = layer(
                 out, memory, memory_mask, pos_enc, query_pos_enc, query_mask,
                 goal, goal_mask, goal_pos_enc, add_pos, detected_objects,
                 deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(out.astype(jnp.float32)).astype(self.dtype)
+        return self.final_norm(out.astype(jnp.float32)).astype(self.dtype)
+
+    def precompute_mem_kv(self, memory, deterministic: bool = True):
+        """Per-layer projected cross-attention K/V of the static encoded
+        memory — K from the pos-encoded memory, V from the raw memory (the
+        reference's convention) — computed once per clip."""
+        from bmhrl_tpu.models.blocks import sinusoid_table
+
+        # bitwise-identical to PositionalEncoder: table cast to the memory
+        # dtype BEFORE the add
+        table = jnp.asarray(sinusoid_table(3660, memory.shape[-1]))
+        mem_pe = memory + table[None, :memory.shape[1]].astype(memory.dtype)
+        return [layer.multihead_attn.project_kv(mem_pe, memory)
+                for layer in self.layers]
+
+    def step(self, tgt_t, t, caches, memory_mask, kv_mem, obj_mem, pe_row,
+             deterministic: bool = True, key_mask=None):
+        """Single-position pass through the stack + final norm."""
+        new_caches = []
+        for layer, cache, kv in zip(self.layers, caches, kv_mem):
+            tgt_t, cache = layer.step(tgt_t, t, cache, memory_mask, kv,
+                                      obj_mem, pe_row, deterministic,
+                                      key_mask=key_mask)
+            new_caches.append(cache)
+        return (self.final_norm(tgt_t.astype(jnp.float32)).astype(self.dtype),
+                new_caches)
 
 
 class ObjectDetect(nn.Module):
@@ -420,6 +500,39 @@ class DetrCaption(nn.Module):
         wf_t = jax.lax.dynamic_slice_in_dim(wf, t, 1, axis=1)
         logits = self.linear(wf_t.astype(jnp.float32))[:, 0]
         return nn.log_softmax(logits, axis=-1)
+
+    # -- fully incremental decode (default path only: the pre_goal path's
+    # forced-boundary labels change retroactively as generation proceeds,
+    # so its goal stream is not incrementally cacheable) -------------------
+    DETR_INCREMENTAL = True
+
+    def init_decode_caches(self, B: int, L: int):
+        def c(layer):
+            z = jnp.zeros(layer.self_attn.kv_cache_shape(B, L), self.dtype)
+            return {"k": z, "v": jnp.zeros_like(z)}
+
+        return {"dec": [c(l) for l in self.worker_decoder.layers]}
+
+    def precompute_decode_mem(self, memory):
+        """Per-clip projected cross-attention K/V for every decoder layer."""
+        return self.worker_decoder.precompute_mem_kv(memory)
+
+    def decode_step(self, tok_t, t, caches, masks, kv_mem, hs_obj,
+                    key_mask=None, deterministic: bool = True):
+        """One-token decode: EOS->PAD input quirk, embed, pos-encode the
+        query stream, KV-cached decoder stack step, frontier vocab head.
+        Token-exact with decode_frontier (tested)."""
+        from bmhrl_tpu.models.blocks import sinusoid_table
+
+        tok = jnp.where(tok_t == EOS, PAD, tok_t)  # ref :151-152
+        C_t = self.emb_C(tok[:, None]).astype(self.dtype)
+        table = jnp.asarray(sinusoid_table(3660, self.d_model_caps))
+        pe_row = table[t][None, None, :].astype(self.dtype)
+        wf_t, dec = self.worker_decoder.step(
+            C_t, t, caches["dec"], masks["V_mask"], kv_mem, hs_obj, pe_row,
+            deterministic, key_mask=key_mask)
+        logits = self.linear(wf_t.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1), {"dec": dec}
 
     def inference(self, x, trg, masks):
         return self(x, trg, masks)[0]

@@ -164,8 +164,13 @@ def _decode_loop_fast(
     # across the two stacked fusion stacks — vmap broadcasts them), no
     # (B, H, Sk, d_k) cross-attention caches at all
     stack2 = lambda a, b: jnp.stack([a, b])  # noqa: E731
-    bimodal = hasattr(type(model), "FUSION_PARAM_KEYS")
-    if bimodal:
+    detr = hasattr(type(model), "DETR_INCREMENTAL")
+    bimodal = (not detr) and hasattr(type(model), "FUSION_PARAM_KEYS")
+    if detr:
+        # single decoder stack, no critic/goal machinery on this path;
+        # Va = encoded memory, Av = detected-object embeddings
+        kv_mem = model.apply(params, Va, method="precompute_decode_mem")
+    elif bimodal:
         mem = {"A": Av, "V": Va}
         fus = make_stacked_fusion(model)
         wk, mk = model.FUSION_PARAM_KEYS
@@ -183,9 +188,10 @@ def _decode_loop_fast(
         fus_params = jax.tree.map(stack2, collect(wk), collect(mk))
         m1_mask_row = (masks_src["A_mask"] if model.modality == "audio"
                        else masks_src["V_mask"])
-    caches0 = dict(caches0)
-    caches0["fus"] = jax.tree.map(
-        stack2, caches0.pop("wself"), caches0.pop("mself"))
+    if not detr:
+        caches0 = dict(caches0)
+        caches0["fus"] = jax.tree.map(
+            stack2, caches0.pop("wself"), caches0.pop("mself"))
     # PAD-validity of consumed positions (<s> at 0 is valid by definition)
     valid0 = jnp.zeros((B, L), bool).at[:, 0].set(True)
 
@@ -195,9 +201,12 @@ def _decode_loop_fast(
 
     from bmhrl_tpu.ops import attention as fused_ops
 
-    N_layers = fus.N
-    att_scale = 1.0 / float(model.d_model // model.att_heads) ** 0.5
-    if bimodal:
+    N_layers = fus.N if not detr else 0
+    att_scale = (1.0 / float(model.d_model // model.att_heads) ** 0.5
+                 if not detr else 1.0)
+    if detr:
+        use_folded_kernel = False
+    elif bimodal:
         maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
         maskV = masks_src["V_mask"][:, 0, :]
         use_folded_kernel = (
@@ -274,11 +283,19 @@ def _decode_loop_fast(
         return logits_t, {"critic": crit, "fus": fcaches,
                           "goal": goal_cache, "hb": hb}
 
+    def step_detr(tok_t, t, caches, valid):
+        return model.apply(
+            params, tok_t, t, caches, masks_src, kv_mem, Av,
+            key_mask=valid, method="decode_step")
+
     def body(carry):
         t, trg, done, rng, probs, caches, valid = carry
         tok_t = trg[jnp.arange(B), t]
         valid = valid.at[:, t].set(tok_t != pad_idx).at[:, 0].set(True)
-        logits_t, caches = step_stacked(tok_t, t, caches, valid)
+        if detr:
+            logits_t, caches = step_detr(tok_t, t, caches, valid)
+        else:
+            logits_t, caches = step_stacked(tok_t, t, caches, valid)
         rng, sub = jax.random.split(rng)
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
@@ -333,7 +350,9 @@ def decode(
     if use_fast is None:
         use_fast = not exploration
     incremental = (hasattr(type(model), "FUSION_PARAM_KEYS")
-                   or hasattr(type(model), "UNI_FUSION_PARAM_PREFIXES"))
+                   or hasattr(type(model), "UNI_FUSION_PARAM_PREFIXES")
+                   or (hasattr(type(model), "DETR_INCREMENTAL")
+                       and not model.pre_goal_attention))
     if use_fast and incremental and not exploration:
         return _decode_loop_fast(
             model, params, Va, Av, masks_src, B, max_len, start_idx,

@@ -119,3 +119,24 @@ def test_detr_decode(setup):
     t = np.asarray(toks)
     assert t.shape == (B, 7)
     assert (t[:, 0] == 2).all()
+
+
+def test_detr_fast_decode_matches_full(setup):
+    """The incremental (KV-cached) DETR decode must produce exactly the
+    tokens of the full-buffer frontier path (default use_manager=False /
+    pre_goal_attention=False path)."""
+    from bmhrl_tpu.train import decode as D
+
+    model, params, b, feats, trg, masks = setup
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    V = feats["rgb"] + feats["flow"]
+    A = feats["audio"]
+    Va, Av = model.apply(params, V, A, masks_src, method="encode")
+    full_toks, full_probs = D._decode_loop(
+        model, params, Va, Av, masks_src, B, 6, 2, 3, 1, True, None)
+    fast_toks, fast_probs = D._decode_loop_fast(
+        model, params, Va, Av, masks_src, B, 6, 2, 3, 1, True, None)
+    np.testing.assert_array_equal(np.asarray(full_toks),
+                                  np.asarray(fast_toks))
+    np.testing.assert_allclose(np.asarray(full_probs),
+                               np.asarray(fast_probs), rtol=1e-4, atol=1e-5)
