@@ -249,6 +249,32 @@ class MultiheadedAttention(nn.Module):
     def kv_cache_shape(self, B: int, L: int):
         return (B, self.H, L, self._d_k)
 
+    def _project_qkv(self, Q, K, V):
+        """Un-headed (B, S, d_model) Q/K/V projections, merged into fewer
+        matmuls when the inputs alias (always the case in this model: self
+        attention passes the same tensor three times, cross attention the
+        same memory twice). Merging reads the activation from HBM once
+        instead of 2-3x; each output column is the same dot product as in
+        the separate matmuls (kernel concat is exact). Init time takes the
+        plain per-module path so every Dense gets its params created."""
+        if self.is_initializing() or (K is not V):
+            return self.linear_Q2d(Q), self.linear_K2d(K), self.linear_V2d(V)
+        pk = self.linear_K2d.variables["params"]
+        pv = self.linear_V2d.variables["params"]
+        dt = self.dtype
+        if Q is K:
+            pq = self.linear_Q2d.variables["params"]
+            w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]],
+                                axis=1).astype(dt)
+            b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]]).astype(dt)
+            qkv = Q.astype(dt) @ w + b
+            return tuple(jnp.split(qkv, 3, axis=-1))
+        w = jnp.concatenate([pk["kernel"], pv["kernel"]], axis=1).astype(dt)
+        b = jnp.concatenate([pk["bias"], pv["bias"]]).astype(dt)
+        kv = K.astype(dt) @ w + b
+        k3, v3 = jnp.split(kv, 2, axis=-1)
+        return self.linear_Q2d(Q), k3, v3
+
     def __call__(
         self,
         Q: jnp.ndarray,
@@ -260,25 +286,34 @@ class MultiheadedAttention(nn.Module):
         precomputed_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         B, Sq, _ = Q.shape
-        q = self._heads(self.linear_Q2d(Q))
-        if precomputed_kv is not None:
-            k, v = precomputed_kv
+
+        from bmhrl_tpu.ops import attention as fused
+
+        # (B, 1, Sk) masks are key pad masks, identical across query rows
+        is_key_pad_mask = mask is None or mask.shape[1] == 1
+        if precomputed_kv is None:
+            Sk = K.shape[1]
+            if (is_key_pad_mask and not causal
+                    and fused.flash_qualifies(Sq, Sk, self._d_k)):
+                # fused path: un-headed projections feed the Pallas kernel
+                # directly — no (B,H,S,d) transposes, scores stay in VMEM
+                q3, k3, v3 = self._project_qkv(Q, K, V)
+                key_mask = None if mask is None else mask[:, 0, :]
+                out = fused.flash_attention_bsd(
+                    q3, k3, v3, key_mask, self.H).astype(self.dtype)
+                out = self.dropout(out, deterministic=deterministic)
+                return self.linear_d2Q(out)
+            q3, k3, v3 = self._project_qkv(Q, K, V)
+            q, k, v = self._heads(q3), self._heads(k3), self._heads(v3)
         else:
-            k, v = self.project_kv(K, V)
-        Sk = k.shape[2]
+            q = self._heads(self.linear_Q2d(Q))
+            k, v = precomputed_kv
 
         if mask is not None:
             # (B, 1, Sk) or (B, Sq, Sk) -> (B, 1, ., Sk): same for all heads
             mask = mask[:, None, :, :]
 
-        from bmhrl_tpu.ops import attention as fused
-
-        is_key_pad_mask = mask is None or mask.shape[2] == 1
-        if (is_key_pad_mask and not causal
-                and fused.flash_qualifies(Sq, Sk, self._d_k)):
-            out = fused.flash_attention(q, k, v, mask).astype(self.dtype)
-        else:
-            out = scaled_dot_attention(q, k, v, mask, causal=causal)
+        out = scaled_dot_attention(q, k, v, mask, causal=causal)
         out = self.dropout(out, deterministic=deterministic)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, Sq, self._d)

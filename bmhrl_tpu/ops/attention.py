@@ -1,26 +1,35 @@
 """Fused (flash-style) attention kernel for TPU via Pallas.
 
 Motivation: the encoder attentions run over up to 300 video / 800 audio
-frames; unfused attention materializes (B, H, S, S) score tensors in HBM
-(e.g. B=32, H=4, S=800 -> ~330 MB per attention per direction), making the
-encoder HBM-bandwidth bound. This kernel streams K/V tiles through VMEM with
-the online-softmax recurrence, so scores never leave the chip.
+frames; unfused attention materializes (B, H, S, S) score tensors in HBM —
+the trace at the serving point (B=1024, Sv=128, Sa=256) attributes 55 of the
+encoder's 110 device-ms to the scores/softmax/PV chain, plus 5 ms of head
+transposes. This kernel computes each row's full (Sq, Sk) softmax in VMEM
+(sources are <= 900 keys, so scores never touch HBM) and consumes the
+UN-headed (B, S, H*d_k) projections directly, so the (B,S,H,d)->(B,H,S,d)
+transposes disappear too.
+
+Layout (round 3 — the round-2 kernel lost to XLA at every shape): programs
+are batch-TILED, grid (B/bt, Sq/bq) with ALL heads per program. The round-2
+layout ran one (batch*head, q-tile) program each — 4096+ programs at serving
+batch, and per-program launch overhead ate the HBM win (147 vs 114 ms XLA at
+B=1024/Sa=256). Batch-tiling is exactly what fixed the folded decode kernel
+(see enable_folded_kernel). Measured via tools/flash_ab.py (v5e, encoder
+forward wall-clock incl. ~tunnel dispatch, xla -> flash):
+  B=32   Sv=128 Sa=256:   8.8 ->   7.7 ms (1.14x)
+  B=256  Sv=128 Sa=256:  37.5 ->  32.9 ms (1.14x)
+  B=1024 Sv=128 Sa=256: 139.3 -> 114.2 ms (1.22x)
+  B=32   Sv=300 Sa=800:  21.3 ->  16.0 ms (1.33x)
+  B=256  Sv=300 Sa=800: 182.3 -> 115.0 ms (1.59x)
+The kernel wins at every serving shape, so config.use_pallas_attention
+defaults to True and bench.py measures with it on (the production
+configuration). Shapes whose (bt, bq) tiling can't fit VMEM fall back to
+plain XLA attention inside _flash_bsd_call; short sources (< MIN_SK keys)
+never enter the kernel at all.
 
 Numerics match models/attention.scaled_dot_attention exactly: scale by
-1/sqrt(d_k), additive -1e9 where the (B, 1|Sq, Sk) boolean mask is False,
-optional causal tril, f32 accumulation.
-
-Used by MultiheadedAttention when `enable_flash(True)` has been called and
-shapes qualify (Sk >= MIN_SK, d_k aligned); everything else takes the XLA
-path — XLA already fuses well at caption-size sequences. Measured on the
-v5e encoder: 147 ms vs 114 ms XLA at (B=1024, Sa=256) and 241 vs 163 ms
-at the dataset's upper range (B=256, Sv=300, Sa=800), after making the
-kernel dtype-preserving (bf16 streams at half the HBM traffic of the
-earlier forced-f32 version, which measured 164 ms). XLA's fused
-attention wins at every measured shape on this platform — the kernel
-stays opt-in, kept for platforms with cheaper pallas program launches
-and for sources long enough that (B, H, S, S) score materialization
-dominates.
+1/sqrt(d_k), additive -1e9 where the (B, Sk) key mask is False, optional
+causal tril, f32 scores/accumulation, dtype-preserving I/O.
 """
 from __future__ import annotations
 
@@ -55,110 +64,205 @@ def flash_qualifies(Sq: int, Sk: int, d_k: int) -> bool:
             and d_k <= 512)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int,
-                  sk: int, scale: float, causal: bool):
-    """One (batch*head, q-tile) program: stream K/V in bk-sized tiles.
+def _flash_bsd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bq: int,
+                      H: int, scale: float, causal: bool):
+    """One (batch-tile, q-tile) program: bt rows x bq queries, ALL heads
+    (contiguous HBM blocks — slicing the d_k-per-head out of H*d_k in the
+    BlockSpec would make every DMA strided at 1/H density).
 
-    q_ref: (bq, d); k_ref/v_ref: (Sk_pad, d); mask_ref: (1, Sk_pad) int32
-    (1 = attend; already merged with the per-row pad mask by the wrapper
-    when the mask is (Sq, Sk) — see _flash_call).
-    """
+    q_ref: (bt, bq, H*d); k_ref/v_ref: (bt, Sk_pad, H*d) — their block index
+    is constant across the (innermost) q-tile axis, so Mosaic keeps K/V
+    resident in VMEM across q-tiles of the same batch rows; mask_ref:
+    (bt, 1, Sk_pad) int32 (1 = attend); o_ref: (bt, bq, H*d) in q's dtype.
+    Per head (static loop, lane-aligned slices): batched (bt) f32 scores
+    and softmax living only in VMEM; PV in the input dtype with f32
+    accumulation; normalization after PV (exactly the one-pass softmax —
+    Sk fits VMEM at this model's source lengths)."""
     from jax.experimental import pallas as pl
 
-    bq, d = q_ref.shape
-    qb = pl.program_id(1)
-    q = q_ref[:]  # (bq, d) input dtype; scale applied to f32 scores
-
-    m_i = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l_i = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
-
-    num_kb = sk // bk
-
-    def body(kb, carry):
-        m_i, l_i, acc = carry
-        k = k_ref[pl.ds(kb * bk, bk), :]
-        v = v_ref[pl.ds(kb * bk, bk), :]
+    sk = k_ref.shape[1]
+    d = q_ref.shape[2] // H
+    mask = mask_ref[:] > 0  # (bt, 1, Sk), broadcasts over queries
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        # batched (bt) dot: Mosaic pipelines the per-row MXU passes
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (bq, bk) f32
-        mask_tile = mask_ref[:, pl.ds(kb * bk, bk)]  # (1, bk)
-        s = jnp.where(mask_tile > 0, s, NEG_INF)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (bt, bq, Sk) f32
+        s = jnp.where(mask, s, NEG_INF)
         if causal:
-            q_pos = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-                     + qb * bq)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
-
-    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m_i, l_i, acc))
-    # fully-masked rows: l == 0 -> uniform-softmax over -1e9 rows in the XLA
-    # path gives mean(V); here exp(s - m)=1 for all masked entries when every
-    # entry is NEG_INF, so l = Sk and acc = sum(V): identical result.
-    o_ref[:] = acc / jnp.maximum(l_i, 1e-30)
+            q0 = pl.program_id(1) * bq
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, sk), 0) + q0
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, sk), 1)
+            s = jnp.where((k_pos <= q_pos)[None], s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (bt, bq, d)
+        # fully-masked rows: every s == NEG_INF -> p == 1 -> o = mean(V),
+        # matching the XLA path's uniform softmax over -1e9 rows
+        o = o / jnp.maximum(l, 1e-30)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
-def _flash_call(q, k, v, mask, causal: bool):
-    """q,k,v: (BH, S, d) f32; mask: (BH, Sk) int32 (key pad mask)."""
+# per-program VMEM budget for picking the (batch, query) tile. v5e scoped
+# VMEM is 16 MB; the estimate below counts double-buffered input/output
+# blocks explicitly, so the budget can sit close to the hardware limit.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _vmem_estimate(bt: int, bq: int, Sk_pad: int, HD: int,
+                   itemsize: int) -> int:
+    return (2 * 2 * bt * bq * HD * itemsize      # q + o, double-buffered
+            + 2 * 2 * bt * Sk_pad * HD * itemsize  # k + v, double-buffered
+            + bt * bq * Sk_pad * 4 * 2)            # s + p, f32, one head
+
+
+def _pick_tiles(B: int, Sq_pad: int, Sk_pad: int, HD: int, itemsize: int,
+                sq_align: int):
+    """Largest (bt, bq) under the VMEM budget; bt first (fewer programs —
+    per-program launch overhead is what sank the round-2 (B*H, q-tile)
+    layout), then bq. Returns None when even (1, sq_align) doesn't fit
+    (caller falls back to the XLA path)."""
+    for bt in (16, 8, 4, 2, 1):
+        if bt > max(B, 1):
+            continue
+        for bq in (Sq_pad, 512, 256, 128, 64, 32, 16, 8):
+            if bq > Sq_pad or bq % sq_align:
+                continue
+            if _vmem_estimate(bt, bq, Sk_pad, HD, itemsize) <= _VMEM_BUDGET:
+                return bt, bq
+    return None
+
+
+def _flash_bsd_call(q, k, v, mask, H: int, causal: bool):
+    """q,k,v: (B, S, H*d) un-headed projections; mask: (B, Sk) int32.
+    Returns (B, Sq, H*d) in q's dtype."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    BH, Sq, d = q.shape
+    B, Sq, HD = q.shape
     Sk = k.shape[1]
-    bq = min(128, _ceil_to(Sq, 8))
-    bk = 128
+    d = HD // H
+    sq_align = 8 if q.dtype == jnp.float32 else 16
+    Sq_pad = _ceil_to(Sq, sq_align)
+    Sk_pad = _ceil_to(Sk, 128)
+    tiles = _pick_tiles(B, Sq_pad, Sk_pad, HD, q.dtype.itemsize, sq_align)
+    if tiles is None:
+        # shape too large for any tile config: plain XLA attention
+        m4 = (mask > 0)[:, None, None, :]
+        p = _xla_attention_probs(_heads_of(q, H).astype(jnp.float32),
+                                 _heads_of(k, H).astype(jnp.float32),
+                                 m4, causal)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p,
+                       _heads_of(v, H).astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return _unheads(o).astype(q.dtype)
+    bt, bq = tiles
     Sq_pad = _ceil_to(Sq, bq)
-    Sk_pad = _ceil_to(Sk, bk)
-    q = jnp.pad(q, ((0, 0), (0, Sq_pad - Sq), (0, 0)))
-    k = jnp.pad(k, ((0, 0), (0, Sk_pad - Sk), (0, 0)))
-    v = jnp.pad(v, ((0, 0), (0, Sk_pad - Sk), (0, 0)))
-    mask = jnp.pad(mask, ((0, 0), (0, Sk_pad - Sk)))  # pad keys masked out
+    Bp = _ceil_to(B, bt)
+    q = jnp.pad(q, ((0, Bp - B), (0, Sq_pad - Sq), (0, 0)))
+    k = jnp.pad(k, ((0, Bp - B), (0, Sk_pad - Sk), (0, 0)))
+    v = jnp.pad(v, ((0, Bp - B), (0, Sk_pad - Sk), (0, 0)))
+    mask = jnp.pad(mask, ((0, Bp - B), (0, Sk_pad - Sk)))
 
     scale = 1.0 / float(np.sqrt(d))
-    grid = (BH, Sq_pad // bq)
-
-    kernel = functools.partial(
-        _flash_kernel, bk=bk, sk=Sk_pad, scale=scale, causal=causal)
-
-    def q_index(b, i):
-        return (b, i, 0)
-
-    def kv_index(b, i):
-        return (b, 0, 0)
+    # q-tiles innermost: consecutive programs share the K/V block index, so
+    # Mosaic skips the re-fetch and K/V stream from HBM once per batch tile
+    grid = (Bp // bt, Sq_pad // bq)
+    kernel = functools.partial(_flash_bsd_kernel, bq=bq, H=H, scale=scale,
+                               causal=causal)
 
     interpret = jax.default_backend() != "tpu"
     kwargs = {}
     if not interpret:
         from jax.experimental.pallas import tpu as pltpu
 
-        # (batch*head, q-tile) programs are independent -> megacore parallel
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, bq, d), q_index),
-            pl.BlockSpec((None, Sk_pad, d), kv_index),
-            pl.BlockSpec((None, Sk_pad, d), kv_index),
-            pl.BlockSpec((None, 1, Sk_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bt, bq, HD), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((bt, Sk_pad, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bt, Sk_pad, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bt, 1, Sk_pad), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, bq, d), q_index),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq_pad, d), jnp.float32),
+        out_specs=pl.BlockSpec((bt, bq, HD), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sq_pad, HD), q.dtype),
         interpret=interpret,
         **kwargs,
     )(q, k, v, mask[:, None, :].astype(jnp.int32))
-    return out[:, :Sq]
+    return out[:B, :Sq]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_bsd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    H: int = 1,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Fused attention on UN-headed (B, S, H*d_k) projections with a (B, Sk)
+    key pad mask (True/1 = attend). Returns (B, Sq, H*d_k) in q's dtype —
+    ready for the output projection with no head transposes anywhere.
+
+    Differentiable: the forward is the fused Pallas kernel; the backward
+    recomputes attention with standard XLA ops from (q, k, v, mask)
+    residuals (flash-style recompute — no score tensor is saved)."""
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    if mask is None:
+        mask = jnp.ones((B, Sk), jnp.int32)
+    return _flash_bsd_call(q, k, v, mask.astype(jnp.int32), H, causal)
+
+
+def _heads_of(x, H):
+    B, S, HD = x.shape
+    return x.reshape(B, S, H, HD // H).transpose(0, 2, 1, 3)
+
+
+def _unheads(x):
+    B, H, S, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * d)
+
+
+def _flash_bsd_fwd(q, k, v, mask, H, causal):
+    return flash_attention_bsd(q, k, v, mask, H, causal), (q, k, v, mask)
+
+
+def _flash_bsd_bwd(H, causal, res, g):
+    q3, k3, v3, mask = res
+    q = _heads_of(q3, H).astype(jnp.float32)
+    k = _heads_of(k3, H).astype(jnp.float32)
+    v = _heads_of(v3, H).astype(jnp.float32)
+    g = _heads_of(g, H).astype(jnp.float32)
+    m4 = None if mask is None else (mask[:, None, None, :] > 0)
+    p = _xla_attention_probs(q, k, m4, causal)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+                    preferred_element_type=jnp.float32) * scale
+    return (_unheads(dq).astype(q3.dtype), _unheads(dk).astype(k3.dtype),
+            _unheads(dv).astype(v3.dtype), None)
+
+
+flash_attention_bsd.defvjp(_flash_bsd_fwd, _flash_bsd_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -166,32 +270,20 @@ def flash_attention(
     mask: Optional[jnp.ndarray],
     causal: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in for scaled_dot_attention on (B, H, S, d) inputs with a key
-    pad mask broadcastable to (B, 1, 1, Sk). Returns (B, H, Sq, d) f32.
-
-    Differentiable: the forward is the fused Pallas kernel; the backward
-    recomputes attention with standard XLA ops from (q, k, v, mask)
-    residuals (flash-style recompute — no score tensor is saved)."""
-    return _flash_forward_impl(q, k, v, mask, causal)
-
-
-def _flash_forward_impl(q, k, v, mask, causal):
-    # dtype-preserving: bf16 q/k/v stream at half the HBM traffic, with the
-    # same f32 score/accumulator math as scaled_dot_attention (which also
-    # feeds bf16 into its einsums with f32 accumulation)
+    """Compatibility wrapper on HEADED (B, H, S, d) inputs with a mask
+    broadcastable to (B, 1, 1|Sq, Sk): un-heads, runs the fused BSD kernel,
+    re-heads. The model path (MultiheadedAttention.__call__) calls
+    flash_attention_bsd directly and never builds the headed layout."""
     B, H, Sq, d = q.shape
     Sk = k.shape[2]
-    qf = q.reshape(B * H, Sq, d)
-    kf = k.reshape(B * H, Sk, d)
-    vf = v.reshape(B * H, Sk, d)
     if mask is None:
-        key_mask = jnp.ones((B, Sk), jnp.int32)
+        key_mask = None
     else:
         # (B, 1, 1|Sq, Sk) -> key mask (B, Sk); source masks are per-key
         key_mask = mask.reshape(B, -1, Sk)[:, -1, :].astype(jnp.int32)
-    key_mask = jnp.repeat(key_mask, H, axis=0)
-    out = _flash_call(qf, kf, vf, key_mask, causal)
-    return out.reshape(B, H, Sq, d)
+    out = flash_attention_bsd(_unheads(q), _unheads(k), _unheads(v),
+                              key_mask, H, causal)
+    return _heads_of(out, H).astype(jnp.float32)
 
 
 _FOLDED_KERNEL = True
@@ -274,9 +366,22 @@ def folded_attend(q_eff: jnp.ndarray, mem: jnp.ndarray,
         return jnp.einsum("bgs,bsk->bgk", p.astype(mem.dtype), mem,
                           preferred_element_type=jnp.float32)
 
-    bt = 8  # batch rows per program: fewer/bigger programs amortize launch
-    Bp = _ceil_to(B, bt)
+    # batch rows per program: fewer/bigger programs amortize launch overhead
+    # (8 measured best at the serving shapes), shrunk when the memory block
+    # would blow scoped VMEM (long sources: Sv=300/Sa=800 at the dataset cap)
     S_pad = _ceil_to(S, 128)
+
+    def folded_vmem(bt):
+        return (2 * 2 * bt * G * draw * 4               # q + o, f32, dbl-buf
+                + 2 * bt * S_pad * draw * mem.dtype.itemsize  # mem, dbl-buf
+                + (bt * G) * (bt * S_pad) * 4 * 2)      # s + p, f32
+
+    bt = 1
+    for cand in (8, 4, 2):
+        if folded_vmem(cand) <= _VMEM_BUDGET:
+            bt = cand
+            break
+    Bp = _ceil_to(B, bt)
     q = jnp.pad((q_eff * scale).astype(jnp.float32),
                 ((0, Bp - B), (0, 0), (0, 0)))
     memp = jnp.pad(mem, ((0, Bp - B), (0, S_pad - S), (0, 0)))
@@ -328,28 +433,3 @@ def _xla_attention_probs(q, k, mask, causal):
     return jax.nn.softmax(s, axis=-1)
 
 
-def _flash_fwd(q, k, v, mask, causal):
-    return _flash_forward_impl(q, k, v, mask, causal), (q, k, v, mask)
-
-
-def _flash_bwd(causal, res, g):
-    q, k, v, mask = res
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    g = g.astype(jnp.float32)
-    p = _xla_attention_probs(qf, kf, mask, causal)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
-                    preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g, vf,
-                    preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
-                    preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
-                    preferred_element_type=jnp.float32) * scale
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
-
-
-flash_attention.defvjp(_flash_fwd, _flash_bwd)
