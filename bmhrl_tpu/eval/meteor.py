@@ -152,6 +152,10 @@ class MeteorScorer:
         self.paraphrases = (_load_table(paraphrase_path)
                             if paraphrase_path and preset == "meteor15"
                             else None)
+        # nltk runs its synonym stage in STEM space (a quirk of
+        # _enum_stem_match handing stemmed leftovers onward); the Java
+        # METEOR 1.5 matcher synonym module works on surface forms
+        self.nltk_quirks = preset == "nltk"
         if preset == "nltk":
             self.alpha, self.beta, self.gamma = 0.9, 3.0, 0.5
             self.stage_weights = (1.0, 1.0, 1.0, 1.0)
@@ -166,6 +170,9 @@ class MeteorScorer:
 
     # -- alignment -----------------------------------------------------------
     def _synonyms(self, word: str) -> Set[str]:
+        """Hypothesis-side synonym set, exactly nltk's: raw lemma names
+        (no case folding — nltk doesn't lower them either) without '_',
+        plus the word itself."""
         if self.wordnet is None:
             return {word}
         syns = {word}
@@ -173,44 +180,57 @@ class MeteorScorer:
             for lemma in ss.lemmas():
                 name = lemma.name()
                 if "_" not in name:
-                    syns.add(name.lower())
+                    syns.add(name)
         return syns
 
     def align(self, hyp: Sequence[str], ref: Sequence[str]
               ) -> List[Tuple[int, int, int]]:
         """Greedy staged alignment; returns [(hyp_i, ref_j, stage)] sorted by
         hyp index. Stage order: exact(0), stem(1), synonym(2)."""
+        # Matching order follows NLTK's _match_enums/_enum_wordnetsyn_match
+        # exactly: hypothesis words scanned LAST-to-FIRST, each taking the
+        # HIGHEST still-free reference position. The pairing changes the
+        # chunk count whenever the reference repeats a word, so the scan
+        # order is part of the nltk-preset parity contract (the RL reward's
+        # C++ aligner implements the same rule — native/meteor_align.cpp).
         h_free = [True] * len(hyp)
         r_free = [True] * len(ref)
         matches: List[Tuple[int, int, int]] = []
         # stage 0: exact
-        for i, hw in enumerate(hyp):
-            if not h_free[i]:
-                continue
-            for j, rw in enumerate(ref):
-                if r_free[j] and hw == rw:
+        for i in range(len(hyp) - 1, -1, -1):
+            for j in range(len(ref) - 1, -1, -1):
+                if r_free[j] and hyp[i] == ref[j]:
                     matches.append((i, j, 0))
                     h_free[i] = r_free[j] = False
                     break
         # stage 1: stem
         h_stem = [self.stemmer(w) for w in hyp]
         r_stem = [self.stemmer(w) for w in ref]
-        for i in range(len(hyp)):
+        for i in range(len(hyp) - 1, -1, -1):
             if not h_free[i]:
                 continue
-            for j in range(len(ref)):
+            for j in range(len(ref) - 1, -1, -1):
                 if r_free[j] and h_stem[i] == r_stem[j]:
                     matches.append((i, j, 1))
                     h_free[i] = r_free[j] = False
                     break
-        # stage 2: wordnet synonyms
+        # stage 2: wordnet synonyms (reversed-j scan == NLTK's "highest
+        # available position among all synonyms" rule). The nltk preset
+        # runs this stage entirely in STEM space — _enum_stem_match hands
+        # the STEMMED leftover enums to _enum_wordnetsyn_match, so synsets
+        # are looked up on the stemmed hyp word and lemma names compare
+        # against stemmed ref surfaces (verified vs nltk 3.10,
+        # tests/test_meteor_synonyms.py). meteor15 matches on surfaces,
+        # like the jar's synonym module.
         if self.wordnet is not None:
-            for i in range(len(hyp)):
+            h_side = h_stem if self.nltk_quirks else hyp
+            r_side = r_stem if self.nltk_quirks else ref
+            for i in range(len(hyp) - 1, -1, -1):
                 if not h_free[i]:
                     continue
-                syns = self._synonyms(hyp[i])
-                for j in range(len(ref)):
-                    if r_free[j] and ref[j] in syns:
+                syns = self._synonyms(h_side[i])
+                for j in range(len(ref) - 1, -1, -1):
+                    if r_free[j] and r_side[j] in syns:
                         matches.append((i, j, 2))
                         h_free[i] = r_free[j] = False
                         break

@@ -45,6 +45,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.meteor_prefix_rewards.restype = None
+        lib.meteor_prefix_rewards_syn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.meteor_prefix_rewards_syn.restype = None
         lib.cider_new.argtypes = [
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32, ctypes.c_int32]
@@ -67,16 +78,51 @@ def available() -> bool:
     return _load() is not None
 
 
+def load_synonym_table(path: str) -> dict:
+    """Parse a wordnet synonym table file (one ``word<TAB>lemma lemma ...``
+    line per word; see tools/export_wordnet_synonyms.py) into a dict."""
+    table = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            word, _, lemmas = line.partition("\t")
+            table[word] = lemmas.split() if lemmas else []
+    return table
+
+
 class MeteorNative:
-    """Per-prefix METEOR via the C++ aligner (exact + stem stages)."""
+    """Per-prefix METEOR via the C++ aligner (exact + stem + optional
+    wordnet-synonym stages).
+
+    ``syn_lookup`` maps a word to its synonym lemma strings — NLTK's
+    hypothesis-side relation (lemma names without '_' across
+    wordnet.synsets(word), ref: nltk/translate/meteor_score.py
+    _enum_wordnetsyn_match). NB the lookup is queried with the STEMMED
+    leftover word and lemma names are compared against STEMMED reference
+    surfaces: nltk's _enum_stem_match hands the stemmed enum lists to the
+    synonym stage, so that stage runs entirely in stem space (verified
+    against nltk 3.10; the quirk is inherited by anything scoring through
+    single_meteor_score, incl. the reference's batched_meteor.py). Pass a
+    real-wordnet-backed callable, a dict loaded via load_synonym_table, or
+    None for exact+stem only.
+
+    Words are lowercased before interning/stemming, matching
+    single_meteor_score's preprocess=str.lower default."""
 
     def __init__(self, alpha: float = 0.9, beta: float = 3.0,
-                 gamma: float = 0.5):
+                 gamma: float = 0.5, syn_lookup=None):
         from nltk.stem.porter import PorterStemmer
 
         self.alpha, self.beta, self.gamma = alpha, beta, gamma
         self._stemmer = PorterStemmer()
         self._stem = lru_cache(maxsize=200_000)(self._stemmer.stem)
+        if isinstance(syn_lookup, dict):
+            table = syn_lookup
+            syn_lookup = lambda w: table.get(w, ())  # noqa: E731
+        self._syn_lookup = (lru_cache(maxsize=200_000)(
+            lambda w: tuple(syn_lookup(w))) if syn_lookup else None)
         self.lib = _load()
         if self.lib is None:
             raise RuntimeError("native libreward.so unavailable")
@@ -101,11 +147,16 @@ class MeteorNative:
         ref_ids_l: List[int] = []
         ref_st_l: List[int] = []
         offsets = np.zeros(B + 1, np.int32)
+        hyp_stems = set()
         for b in range(B):
             for l, w in enumerate(hyp_tokens[b]):
+                w = w.lower()
+                st = self._stem(w)
                 hyp_ids[b, l] = wid(w)
-                hyp_st[b, l] = wid("\x00stem:" + self._stem(w))
+                hyp_st[b, l] = wid("\x00stem:" + st)
+                hyp_stems.add(st)
             for w in refs[b]:
+                w = w.lower()
                 ref_ids_l.append(wid(w))
                 ref_st_l.append(wid("\x00stem:" + self._stem(w)))
             offsets[b + 1] = len(ref_ids_l)
@@ -113,13 +164,36 @@ class MeteorNative:
         ref_st = np.asarray(ref_st_l, np.int32)
         out = np.zeros((B, L), np.float32)
 
+        # CSR synonym table in STEM space (see class docstring): rows are
+        # keyed by the stem id of each hypothesis stem; values are the stem
+        # ids whose STRING CONTENT equals a synonym lemma name — i.e. a
+        # lemma L matches reference word r iff L == stem(r), so the
+        # candidate id is intern["\x00stem:" + L]. Only ids interned from
+        # this batch can ever match, so everything else is dropped here.
+        n_words = len(intern)
+        syn_ids_l: List[int] = []
+        syn_offsets = np.zeros(n_words + 1, np.int32)
+        if self._syn_lookup is not None:
+            per_word: List[List[int]] = [[] for _ in range(n_words)]
+            for st in hyp_stems:
+                ids = sorted({
+                    intern[key] for s in self._syn_lookup(st)
+                    if (key := "\x00stem:" + s) in intern})
+                per_word[intern["\x00stem:" + st]] = ids
+            for i, ids in enumerate(per_word):
+                syn_ids_l.extend(ids)
+                syn_offsets[i + 1] = len(syn_ids_l)
+        syn_ids = np.asarray(syn_ids_l or [0], np.int32)
+
         c_i32 = ctypes.POINTER(ctypes.c_int32)
         c_f32 = ctypes.POINTER(ctypes.c_float)
-        self.lib.meteor_prefix_rewards(
+        self.lib.meteor_prefix_rewards_syn(
             hyp_ids.ctypes.data_as(c_i32), hyp_st.ctypes.data_as(c_i32),
             B, L,
             ref_ids.ctypes.data_as(c_i32), ref_st.ctypes.data_as(c_i32),
             offsets.ctypes.data_as(c_i32),
+            syn_ids.ctypes.data_as(c_i32), syn_offsets.ctypes.data_as(c_i32),
+            n_words if self._syn_lookup is not None else 0,
             self.alpha, self.beta, self.gamma,
             out.ctypes.data_as(c_f32))
         return out

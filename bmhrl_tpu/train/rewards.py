@@ -383,16 +383,34 @@ class MeteorReward:
         self.gamma_m = gamma_manager
         self.stemmer = PorterStemmer()
         self.wordnet = _get_wordnet()
-        # native C++ aligner: same exact+stem stages as the Python path when
-        # the wordnet corpus is unavailable -> identical scores, much faster
+        # native C++ aligner: runs the same alignment stages as NLTK's
+        # scorer (exact + stem, plus the wordnet-synonym stage when the
+        # corpus is present — the synset groups are fed to the kernel as a
+        # lookup, see native.MeteorNative) -> identical scores, without the
+        # reference's per-prefix O(B*L^2) host loop (batched_meteor.py:68-83)
         self.native = None
-        if isinstance(self.wordnet, _DummyWordnet):
-            try:
-                from bmhrl_tpu.native import MeteorNative
+        try:
+            from bmhrl_tpu.native import MeteorNative
 
-                self.native = MeteorNative()
-            except Exception:
-                self.native = None
+            syn = (None if isinstance(self.wordnet, _DummyWordnet)
+                   else self._wordnet_synonyms)
+            self.native = MeteorNative(syn_lookup=syn)
+        except Exception:
+            self.native = None
+
+    def _wordnet_synonyms(self, word: str):
+        """NLTK's hypothesis-side synonym set (minus the word itself —
+        the native aligner queries this with the STEMMED leftover word, and
+        stem-equal pairs are exhausted by the stem stage): raw lemma names
+        without '_' across wordnet.synsets(word).
+        Ref: nltk _enum_wordnetsyn_match (via stemmed _enum_stem_match
+        leftovers — see native.MeteorNative docstring)."""
+        return [
+            name
+            for ss in self.wordnet.synsets(word)
+            for name in (lemma.name() for lemma in ss.lemmas())
+            if "_" not in name and name != word
+        ]
 
     def _meteor(self, ref_tokens: List[str], hyp_tokens: List[str]) -> float:
         from nltk.translate.meteor_score import single_meteor_score
