@@ -14,10 +14,18 @@ exactly the reference's decode algorithm. This keeps the ratio
 hardware-controlled: it isolates the framework/algorithm win.
 
 Training half (BASELINE.json names "RL train steps/sec"): steady-state
-warmstart and RL worker/manager step rates at the reference's B=16 operating
-point (ref: README.md:64), device-side compute (rollout + update; host
-reward scoring is pipelined behind device work in the training loop, see
-train/loop.py).
+warmstart step rates swept over B in {16,32,64,128} with an MFU estimate
+from the compiled step's FLOP count, plus RL worker/manager step rates at
+the reference's B=16 operating point (ref: README.md:64). Device-side
+compute (rollout + update); host reward scoring is pipelined behind device
+work in the training loop (train/loop.py). ``rl_sequential_steps_per_sec``
+is the same-chip reference-style ordering — rollout, BLOCKING host CIDEr
+scoring (our incremental scorer; the reference's O(B*L^2) rescoring loop
+would be slower still), then update — i.e. the unpipelined variant.
+
+Everything is measured in the PRODUCTION configuration: the same
+enable_flash(cfg.use_pallas_attention) call cli/run_training.py makes
+(train/loop.py:40-42) runs here first.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -93,61 +101,152 @@ def _decode_bench(jax, jnp, model, params_for, feats_for, masks_for,
     return results, best_B, best, ref
 
 
-def _train_bench(jax, jnp, model):
-    """Warmstart + RL worker/manager steps/sec at the reference's B=16."""
-    from bmhrl_tpu.config import Config
-    from bmhrl_tpu.models.bmhrl import (BMManagerValueFunction,
-                                        BMWorkerValueFunction)
-    from bmhrl_tpu.train.steps import StepFactory
+# v5e bf16 peak (MXU): 197 TFLOP/s — the MFU denominator
+_PEAK_FLOPS = 197e12
 
-    cfg = Config(B=16, mesh_shape=(1, 1), to_log=False)
-    sf = StepFactory(cfg, model, BMWorkerValueFunction(),
-                     BMManagerValueFunction(), emb_trainable=True)
-    B, Sv, Sa, Lc = 16, 128, 256, 31
-    rng = np.random.RandomState(0)
-    cap = np.full((B, Lc + 1), 1, np.int32)
-    cap[:, 0] = 2
-    cap[:, 1:20] = rng.randint(4, 10000, (B, 19))
-    cap[:, 20] = 3
+
+def _make_batch(jnp, B, Sv=128, Sa=256, Lc=31, voc=10000, seed=0):
     # device-resident batch: steps measure device compute, not the bench
     # tunnel's host->device bandwidth (~10 MB/s here vs PCIe-rate on a
     # real TPU host, where the input pipeline hides the copy anyway)
-    batch = {
+    rng = np.random.RandomState(seed)
+    cap = np.full((B, Lc + 1), 1, np.int32)
+    cap[:, 0] = 2
+    cap[:, 1:20] = rng.randint(4, voc, (B, 19))
+    cap[:, 20] = 3
+    return {
         "rgb": jnp.asarray(rng.rand(B, Sv, 1024).astype(np.float32)),
         "flow": jnp.asarray(rng.rand(B, Sv, 1024).astype(np.float32)),
         "audio": jnp.asarray(rng.rand(B, Sa, 128).astype(np.float32)),
         "caption_idx": jnp.asarray(cap),
     }
-    state = sf.init_state(jax.random.PRNGKey(0), batch)
+
+
+def _step_flops(jax, sf, state, batch, k):
+    """FLOPs of one compiled warmstart step (fwd+bwd+update), from XLA's
+    own cost model; None when the backend doesn't expose it."""
+    try:
+        lowered = type(sf).warmstart_step.lower(sf, state, batch, k, 1e-4)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _train_bench(jax, jnp, model):
+    """Warmstart steps/sec swept over batch (+ MFU), RL worker/manager
+    steps/sec at the reference's B=16, and the sequential (unpipelined,
+    reference-ordering) RL rate including blocking host CIDEr scoring."""
+    from bmhrl_tpu.config import Config
+    from bmhrl_tpu.models.bmhrl import (BMManagerValueFunction,
+                                        BMWorkerValueFunction)
+    from bmhrl_tpu.train.rewards import CiderReward
+    from bmhrl_tpu.train.steps import StepFactory
+
+    cfg = Config(B=16, mesh_shape=(1, 1), to_log=False)
+    sf = StepFactory(cfg, model, BMWorkerValueFunction(),
+                     BMManagerValueFunction(), emb_trainable=True)
     k = jax.random.PRNGKey(1)
 
-    def sync(state, m):
+    def sync(m):
         return float(np.asarray(m["loss"]))
 
     out = {}
-    # warmstart
-    state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
-    sync(state, m)
-    t0 = time.time()
-    iters = 8
-    for _ in range(iters):
+    # warmstart batch sweep (VERDICT r2 item 4: scaling + MFU accounting)
+    state = None
+    for B in (16, 32, 64, 128):
+        batch = _make_batch(jnp, B)
+        if state is None:
+            state = sf.init_state(jax.random.PRNGKey(0), batch)
         state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
-    sync(state, m)
-    out["warmstart_steps_per_sec"] = iters / (time.time() - t0)
-    # RL worker / manager (device-side rollout + update; host scoring is
-    # pipelined behind device work in the real loop)
+        sync(m)
+        t0 = time.time()
+        iters = 8
+        for _ in range(iters):
+            state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
+        sync(m)
+        sps = iters / (time.time() - t0)
+        out[f"warmstart_B{B}_steps_per_sec"] = sps
+        flops = _step_flops(jax, sf, state, batch, k)
+        if flops:
+            out[f"warmstart_B{B}_mfu_pct"] = 100 * flops * sps / _PEAK_FLOPS
+    out["warmstart_steps_per_sec"] = out["warmstart_B16_steps_per_sec"]
+
+    # RL worker / manager at B=16 (device-side rollout + update; host
+    # scoring is pipelined behind device work in the real loop)
+    batch = _make_batch(jnp, 16)
     for name, tw in (("rl_worker", True), ("rl_manager", False)):
         roll = sf.rl_rollout(state, batch, k, tw)
         score = jnp.zeros(roll["sampled"].shape, jnp.float32)
         state, m = sf.rl_update(state, batch, k, 1e-4, roll, score, tw)
-        sync(state, m)
+        sync(m)
         t0 = time.time()
         iters = 6
         for _ in range(iters):
             roll = sf.rl_rollout(state, batch, k, tw)
             state, m = sf.rl_update(state, batch, k, 1e-4, roll, score, tw)
-        sync(state, m)
+        sync(m)
         out[f"{name}_steps_per_sec"] = iters / (time.time() - t0)
+
+    # reference-style sequential ordering: rollout -> BLOCKING host CIDEr
+    # scoring -> update (what the torch loop does,
+    # captioning_bmrl_loops.py:271-334, minus its O(B*L^2) rescoring)
+    rng = np.random.RandomState(2)
+    itos = ["<blank>", "<pad>", "<s>", "</s>"] + [
+        f"w{i}" for i in range(10000 - 4)]
+    corpus = [[f"w{rng.randint(0, 500)}" for _ in range(12)]
+              for _ in range(200)]
+    scorer = CiderReward(itos, corpus, 0.8, 0.8)
+    trgs = [" ".join(f"w{rng.randint(0, 500)}" for _ in range(12))
+            for _ in range(16)]
+    roll = sf.rl_rollout(state, batch, k, True)
+    sampled = np.asarray(roll["sampled"])
+    score0, _ = scorer.delta_worker(sampled, trgs)
+    state, m = sf.rl_update(state, batch, k, 1e-4, roll,
+                            jnp.asarray(score0), True)
+    sync(m)
+    t0 = time.time()
+    iters = 6
+    for _ in range(iters):
+        roll = sf.rl_rollout(state, batch, k, True)
+        sampled = np.asarray(roll["sampled"])  # blocking device->host
+        sc, _ = scorer.delta_worker(sampled, trgs)
+        state, m = sf.rl_update(state, batch, k, 1e-4, roll,
+                                jnp.asarray(sc), True)
+        sync(m)
+    out["rl_sequential_steps_per_sec"] = iters / (time.time() - t0)
+    return out
+
+
+def _decode_long_bench(jax, jnp, model, params, masks_for, max_len=30):
+    """Serving rate at the DATASET-MAX source lengths (Sv=300, Sa=800 — the
+    caps in runTraining.py:124-127); real eval runs up to here."""
+    from bmhrl_tpu.train.decode import decode
+
+    rng = np.random.RandomState(1)
+    out = {}
+    for B in (32, 256):
+        feats = {
+            "rgb": jnp.asarray(rng.rand(B, 300, 1024), jnp.float32),
+            "flow": jnp.asarray(rng.rand(B, 300, 1024), jnp.float32),
+            "audio": jnp.asarray(rng.rand(B, 800, 128), jnp.float32),
+        }
+        masks_src = masks_for(feats, None)
+
+        def run():
+            toks, _ = decode(model, params, feats, masks_src, max_len, 2, -1,
+                             1, greedy=True, use_fast=True)
+            return np.asarray(toks)
+
+        run()  # compile
+        iters = 5
+        t0 = time.time()
+        for _ in range(iters):
+            run()
+        out[f"decode_long_B{B}_clips_per_sec"] = round(
+            B / ((time.time() - t0) / iters), 2)
     return out
 
 
@@ -158,8 +257,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bmhrl_tpu.config import Config
     from bmhrl_tpu.models.bmhrl import BMHrlAgent
+    from bmhrl_tpu.ops.attention import enable_flash
     from bmhrl_tpu.ops.masking import make_masks
+
+    # the production configuration: exactly what cli/run_training.py sets
+    # up for every training/eval run (train/loop.py:40-42)
+    enable_flash(Config(B=16, to_log=False).use_pallas_attention)
 
     VOC, Sv, Sa = 10172, 128, 256
     model = BMHrlAgent(voc_size=VOC)
@@ -188,13 +293,17 @@ def main():
 
     per_b, best_B, best, ref = _decode_bench(
         jax, jnp, model, params_for, feats_for, masks_for)
+    long_decode = _decode_long_bench(jax, jnp, model, _param_cache["p"],
+                                     masks_for)
     train = _train_bench(jax, jnp, model)
 
     extra = {f"decode_B{b}_clips_per_sec": round(v, 2)
              for b, v in per_b.items()}
     extra["best_batch"] = best_B
     extra["reference_style_clips_per_sec"] = round(ref, 2)
+    extra.update(long_decode)
     extra.update({k: round(v, 3) for k, v in train.items()})
+    extra["flash_attention_on"] = True
     print(json.dumps({
         "metric": (f"captioned clips/sec/chip (greedy, KV-cached decode, "
                    f"best of B in {{32,256,1024}}, Sv=128, Sa=256)"),
