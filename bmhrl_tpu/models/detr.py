@@ -31,6 +31,16 @@ from bmhrl_tpu.models.critic import SegmentCritic
 PAD, EOS = 1, 3
 
 
+def _torch_bias_init(fan_in: int):
+    """torch Conv1d/Linear bias init: uniform(-1/sqrt(fan_in), +...)."""
+    bound = 1.0 / float(np.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class DetrEncoderLayer(nn.Module):
     """Post-norm encoder layer; Q,K carry position, V does not.
     ref: encoder.py:39-75."""
@@ -122,7 +132,13 @@ class DetrDecoderLayer(nn.Module):
     def __call__(self, tgt, memory, memory_mask, pos_enc, query_pos_enc,
                  query_mask, goal=None, goal_mask=None, goal_pos_enc=None,
                  add_pos: Optional[jnp.ndarray] = None,
-                 detected_objects=None, deterministic: bool = True):
+                 detected_objects=None, deterministic: bool = True,
+                 mem_kv=None, obj_kv=None):
+        """``mem_kv``/``obj_kv``: optional per-clip precomputed projected
+        K/V for the memory cross-attention / object attention (decode-time
+        only — they fold the deterministic pos_enc(memory), so callers must
+        not pass them when dropout is live). The goal attention K/V is NOT
+        cacheable: goals change retroactively during pre_goal decode."""
         self_attn = self.self_attn
         cross_attn = self.multihead_attn
         goal_attn = self.goal_attention
@@ -141,8 +157,12 @@ class DetrDecoderLayer(nn.Module):
         tgt = self.norms[1](tgt.astype(jnp.float32)).astype(self.dtype)
         tgt = tgt + drop(1, tgt2)
 
-        tgt2 = cross_attn(q, pos_enc(memory, det), memory, memory_mask,
-                          deterministic=det)
+        if mem_kv is not None:
+            tgt2 = cross_attn(q, None, None, memory_mask, deterministic=det,
+                              precomputed_kv=mem_kv)
+        else:
+            tgt2 = cross_attn(q, pos_enc(memory, det), memory, memory_mask,
+                              deterministic=det)
         tgt = tgt + drop(2, tgt2)
         tgt = self.norms[2](tgt.astype(jnp.float32)).astype(self.dtype)
         if goal is not None:
@@ -150,10 +170,10 @@ class DetrDecoderLayer(nn.Module):
                              goal, goal_mask, deterministic=det)
             tgt = tgt + drop(4, tgt2)
             tgt = self.norms[4](tgt.astype(jnp.float32)).astype(self.dtype)
-        if detected_objects is not None:
+        if detected_objects is not None or obj_kv is not None:
             # the reference drops the object mask (decoder.py:107)
             tgt2 = det_attn(q, detected_objects, detected_objects, None,
-                            deterministic=det)
+                            deterministic=det, precomputed_kv=obj_kv)
             tgt = tgt + drop(5, tgt2)
             tgt = self.norms[5](tgt.astype(jnp.float32)).astype(self.dtype)
         h = self.linear1(tgt)
@@ -227,13 +247,15 @@ class DetrDecoder(nn.Module):
     def __call__(self, tgt, memory, memory_mask, pos_enc, query_pos_enc,
                  query_mask, goal=None, goal_mask=None, goal_pos_enc=None,
                  add_pos=None, detected_objects=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, mem_kv=None, obj_kv=None):
         out = tgt
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             out = layer(
                 out, memory, memory_mask, pos_enc, query_pos_enc, query_mask,
                 goal, goal_mask, goal_pos_enc, add_pos, detected_objects,
-                deterministic)
+                deterministic,
+                mem_kv=None if mem_kv is None else mem_kv[i],
+                obj_kv=None if obj_kv is None else obj_kv[i])
         return self.final_norm(out.astype(jnp.float32)).astype(self.dtype)
 
     def precompute_mem_kv(self, memory, deterministic: bool = True):
@@ -247,6 +269,14 @@ class DetrDecoder(nn.Module):
         table = jnp.asarray(sinusoid_table(3660, memory.shape[-1]))
         mem_pe = memory + table[None, :memory.shape[1]].astype(memory.dtype)
         return [layer.multihead_attn.project_kv(mem_pe, memory)
+                for layer in self.layers]
+
+    def precompute_obj_kv(self, detected_objects):
+        """Per-layer projected K/V of the static detected-object embeddings
+        (the object attention uses the raw embeddings for both, no pos-enc,
+        mask dropped — decoder.py:107)."""
+        return [layer.detected_attention.project_kv(detected_objects,
+                                                    detected_objects)
                 for layer in self.layers]
 
     def step(self, tgt_t, t, caches, memory_mask, kv_mem, obj_mem, pe_row,
@@ -336,10 +366,26 @@ class DetrCaption(nn.Module):
         self.pos_enc_C = PositionalEncoder(self.d_model_caps, self.dout_p)
         self.emb_C = VocabularyEmbedder(self.voc_size, self.d_model_caps)
         self.critic = SegmentCritic(self.d_model_caps)
-        # stacked temporal Conv1d projections with GroupNorm (ref :79-91)
+        # stacked temporal Conv1d projections with GroupNorm (ref :79-91).
+        # torch Conv1d init (kaiming-uniform weight, uniform NONZERO bias):
+        # flax's zero bias init makes conv(0) == 0 exactly, so a clip whose
+        # features are missing (zero-filled, data/features.py) keeps the
+        # whole stack identically zero — every GroupNorm/LayerNorm then
+        # normalizes a zero-variance input and the backward amplifies by
+        # 1/sqrt(eps) per norm layer, overflowing to inf/nan in the first
+        # DETR update. The reference never hits this precisely because
+        # torch biases are nonzero at init.
+        def conv_fan_in(i):
+            d_in = 1024 if i == 0 else self.d_model  # i3d features first
+            return d_in * 3 * (i + 1)
+
         self.input_proj = [
             nn.Conv(self.d_model, kernel_size=(3 * (i + 1),), padding="SAME",
-                    dtype=self.dtype, name=f"input_proj_{i}")
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.variance_scaling(
+                        1.0 / 3.0, "fan_in", "uniform"),
+                    bias_init=_torch_bias_init(conv_fan_in(i)),
+                    name=f"input_proj_{i}")
             for i in range(self.n_time)]
         self.input_norms = [
             nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
@@ -415,23 +461,41 @@ class DetrCaption(nn.Module):
         return jnp.where(pos > first_end[:, None], 0, labels)
 
     def caption_head(self, trg, memory, hs_obj, masks,
-                     exploration: bool = False, deterministic: bool = True):
+                     exploration: bool = False, deterministic: bool = True,
+                     fusion_kv=None):
         wf = self.caption_features(trg, memory, hs_obj, masks, exploration,
-                                   deterministic)
+                                   deterministic, fusion_kv=fusion_kv)
         pred = nn.log_softmax(self.linear(wf.astype(jnp.float32)), axis=-1)
         return pred, wf
 
+    def precompute_fusion_kv(self, Va, Av):
+        """Per-clip projected K/V of everything static under decode: the
+        worker (and pre_goal manager) decoder memory cross-attentions and
+        the worker object attention. The goal stream is NOT cacheable — its
+        forced-boundary labels change retroactively as generation proceeds
+        (ref det_bmhrl_agent.py:188-199) — but the memory/object K/V are
+        per-clip constants regardless. Used by the frontier decode loop
+        (train/decode._decode_loop). Va = encoded memory, Av = detected
+        objects (the generic decode slots)."""
+        kv = {"worker_mem": self.worker_decoder.precompute_mem_kv(Va),
+              "worker_obj": self.worker_decoder.precompute_obj_kv(Av)}
+        if self.pre_goal_attention:
+            kv["manager_mem"] = self.manager_decoder.precompute_mem_kv(Va)
+        return kv
+
     def caption_features(self, trg, memory, hs_obj, masks,
                          exploration: bool = False,
-                         deterministic: bool = True):
+                         deterministic: bool = True, fusion_kv=None):
         trg = jnp.where(trg == EOS, PAD, trg)  # ref :151-152
         C = self.emb_C(trg)
         det = deterministic
+        fkv = fusion_kv or {}
         if self.pre_goal_attention:
             # the goal-fusion path (ref :167-199, intent — see class doc)
             worker_context = self.manager_decoder(
                 C.astype(self.dtype), memory, masks["V_mask"], self.pos_enc,
-                self.pos_enc_C, masks["C_mask"], deterministic=det)
+                self.pos_enc_C, masks["C_mask"], deterministic=det,
+                mem_kv=fkv.get("manager_mem"))
             labels = self._forced_segment_labels(trg, C)
             goals = self.manager(worker_context.astype(jnp.float32), labels,
                                  exploration, det)
@@ -453,7 +517,8 @@ class DetrCaption(nn.Module):
         return self.worker_decoder(
             C.astype(self.dtype), memory, masks["V_mask"], self.pos_enc,
             query_pe, masks["C_mask"], detected_objects=hs_obj,
-            deterministic=det)
+            deterministic=det, mem_kv=fkv.get("worker_mem"),
+            obj_kv=fkv.get("worker_obj"))
 
     def __call__(self, x, trg, masks, mix_factor=None, exploration=False,
                  deterministic: bool = True):
@@ -486,17 +551,20 @@ class DetrCaption(nn.Module):
         return jnp.full(token_t.shape, -1e9, jnp.float32), state
 
     def decode_with_labels(self, trg, segment_labels, Va, Av, masks,
-                           exploration=False, deterministic: bool = True):
+                           exploration=False, deterministic: bool = True,
+                           fusion_kv=None):
         pred, wf = self.caption_head(trg, Va, Av, masks, exploration,
-                                     deterministic)
+                                     deterministic, fusion_kv=fusion_kv)
         return pred, wf, Va, None, segment_labels
 
     def decode_frontier(self, trg, segment_labels, Va, Av, masks, t,
-                        exploration=False, deterministic: bool = True):
+                        exploration=False, deterministic: bool = True,
+                        fusion_kv=None):
         """Decoder stack over the full buffer, vocab projection only at the
-        frontier position t (the dominant per-token decode matmul)."""
+        frontier position t (the dominant per-token decode matmul); the
+        static memory/object K/V come precomputed per clip (fusion_kv)."""
         wf = self.caption_features(trg, Va, Av, masks, exploration,
-                                   deterministic)
+                                   deterministic, fusion_kv=fusion_kv)
         wf_t = jax.lax.dynamic_slice_in_dim(wf, t, 1, axis=1)
         logits = self.linear(wf_t.astype(jnp.float32))[:, 0]
         return nn.log_softmax(logits, axis=-1)

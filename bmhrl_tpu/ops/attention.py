@@ -330,6 +330,8 @@ def _folded_kernel(q_ref, mem_ref, mask_ref, o_ref, *, bt: int, gp: int,
     # where its (1, sp) pad mask also applies
     q_row = jax.lax.broadcasted_iota(jnp.int32, (bt * gp, bt * sp), 0) // gp
     k_row = jax.lax.broadcasted_iota(jnp.int32, (bt * gp, bt * sp), 1) // sp
+    # mask block is (bt, 1, sp): the middle singleton keeps the BlockSpec's
+    # last two dims equal to the array's when bt < 8 (Mosaic tiling rule)
     pad = mask_ref[:].reshape(1, bt * sp) > 0
     s = jnp.where((q_row == k_row) & pad, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -409,13 +411,13 @@ def folded_attend(q_eff: jnp.ndarray, mem: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((bt * G, draw), lambda b: (b, 0)),
             pl.BlockSpec((bt * S_pad, draw), lambda b: (b, 0)),
-            pl.BlockSpec((bt, S_pad), lambda b: (b, 0)),
+            pl.BlockSpec((bt, 1, S_pad), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt * G, draw), lambda b: (b, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp * G, draw), jnp.float32),
         interpret=interpret,
         **kwargs,
-    )(q, memp, maskp)
+    )(q, memp, maskp[:, None, :])
     return out.reshape(Bp, G, draw)[:B]
 
 

@@ -74,8 +74,20 @@ class GatedAdam:
 
 
 def clip_by_global_norm(grads, max_norm: float):
-    """torch clip_grad_norm_ semantics."""
+    """torch clip_grad_norm_ semantics, plus a non-finite guard: a batch
+    whose gradient norm is inf/nan contributes ZERO gradient instead of
+    poisoning the parameters. (torch zeroes the grads for inf — scale =
+    max/inf — but propagates nan into every parameter; a degenerate batch,
+    e.g. one full of zero-filled missing-feature clips, should lose its
+    step, not kill the run.)"""
     leaves = jax.tree.leaves(grads)
     norm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
     scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
-    return jax.tree.map(lambda g: g * scale, grads)
+    ok = jnp.isfinite(norm)
+
+    def clip(g):
+        # nan * 0 is still nan: replace, don't scale, when the norm is bad
+        return jnp.where(ok, (g * scale).astype(g.dtype),
+                         jnp.zeros_like(g))
+
+    return jax.tree.map(clip, grads)
