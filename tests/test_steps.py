@@ -174,3 +174,30 @@ def test_rl_improves_reward():
                                 jnp.asarray(score), True)
     early, late = np.mean(scores[:10]), np.mean(scores[-10:])
     assert late > early, (early, late)
+
+
+def test_bmhrl_trains_on_zero_feature_batch():
+    """Zero-filled missing-feature clips (data/features.py) must keep
+    warmstart + RL updates and decode finite for the BMHRL family too
+    (companion to the DETR regression in test_detr.py)."""
+    from bmhrl_tpu.ops.masking import make_masks
+    from bmhrl_tpu.train.decode import decode
+
+    cfg, sf, scorer, batch = tiny_setup()
+    batch = dict(batch)
+    for kk in ("rgb", "flow", "audio"):
+        batch[kk] = jnp.zeros_like(batch[kk])
+    state = sf.init_state(jax.random.PRNGKey(0), batch)
+    k = jax.random.PRNGKey(1)
+    state, m, aux = sf.warmstart_step(state, batch, k, 1e-3)
+    assert np.isfinite(float(m["loss"]))
+    state, _ = run_rl_step(sf, scorer, state, batch, k, True)
+    bad = [jax.tree_util.keystr(p) for p, x in
+           jax.tree_util.tree_leaves_with_path(state.cap_params)
+           if not bool(jnp.isfinite(x).all())]
+    assert not bad, f"non-finite params: {bad[:5]}"
+    feats = {kk: batch[kk] for kk in ("rgb", "flow", "audio")}
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    toks, probs = decode(sf.model, state.cap_params, feats, masks_src,
+                         6, 2, 3, 1, greedy=True, use_fast=True)
+    assert np.isfinite(np.asarray(probs)).all()
