@@ -172,7 +172,8 @@ class StepFactory:
                 {"dropout": r_drop, "noise": r_noise}, r_samp)
 
     # -- warmstart -----------------------------------------------------------
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def warmstart_step(self, state: TrainState, batch, rng, lr):
         """Supervised captioner update; returns aux tensors for host scoring
         + value pretraining. ref: captioning_bmrl_loops.py:1132-1160."""
@@ -206,7 +207,8 @@ class StepFactory:
         }
         return new_state, {"loss": loss, "n_tokens": n_tokens}, aux
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def value_warmstart_step(self, state: TrainState, wf, mf, w_score, m_score,
                              token_mask, seg):
         """Value-net pretraining on host-computed scores.
@@ -265,7 +267,8 @@ class StepFactory:
         }
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "train_worker"))
+        jax.jit, static_argnames=("self", "train_worker"),
+        donate_argnames=("state",))
     def rl_update(self, state: TrainState, batch, rng, lr, roll, score,
                   train_worker: bool = True):
         """Biased-KL update from the host score + the rl_rollout outputs

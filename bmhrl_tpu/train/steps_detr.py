@@ -57,7 +57,8 @@ class DetrStepFactory(StepFactory):
             "loss_mask": (y_idx != PAD),
         }
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def detr_update(self, state: TrainState, batch, rng, lr, sampled, score,
                     target_classes):
         """Combined biased-KL + 0.5*value + Hungarian word loss update.
@@ -115,7 +116,8 @@ class DetrStepFactory(StepFactory):
                    "total_loss": total}
         return new_state, metrics
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def reinforce_update(self, state: TrainState, batch, rng, lr, sampled,
                          score):
         """REINFORCE variant (--with_reinforce). ref: reinforce_detr
