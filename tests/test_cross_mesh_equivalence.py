@@ -102,7 +102,10 @@ def _run_all_steps(mesh_shape):
 
 @pytest.fixture(scope="module")
 def runs():
-    return {ms: _run_all_steps(ms) for ms in MESHES}
+    yield {ms: _run_all_steps(ms) for ms in MESHES}
+    # free this module's pile of sharded executables — letting them
+    # accumulate has preceded XLA-CPU compile segfaults later in the suite
+    jax.clear_caches()
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])

@@ -1,15 +1,33 @@
 """Driver-contract tests: entry() shape check and dryrun_multichip on the
 virtual 8-device CPU mesh; orbax TrainState roundtrip."""
+import os
+import subprocess
+import sys
+
 import jax
 import numpy as np
 import pytest
 
 
 def test_dryrun_multichip_8():
-    import __graft_entry__ as g
-
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    g.dryrun_multichip(8)  # raises on failure
+    """Run the driver contract the way the driver does: a FRESH process.
+    (In-process, the 8-device full-train-step compile segfaults XLA-CPU
+    when it follows a long suite's worth of compilations — observed at the
+    same spot across three full-suite runs, while the identical call in a
+    fresh process passes every time. The subprocess also self-provisions
+    the virtual mesh exactly like the driver invocation.)"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, f"dryrun failed:\n{r.stdout}\n{r.stderr}"
+    assert "dryrun_multichip OK" in r.stdout
+    assert "cross-mesh equivalence vs (1,1) certified" in r.stdout
 
 
 def test_entry_compiles():
