@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Full-suite runner: pytest in a few fresh processes instead of one.
+
+Why: a single pytest process running all of tests/ accumulates hundreds of
+XLA-CPU compilations and eventually SEGFAULTS inside
+``backend_compile_and_load`` (reproduced at different tests across four
+runs on this jax 0.9 / single-core host; every individual chunk passes in
+a fresh process). Until the upstream crash is fixed, this runner is the
+supported way to run the whole suite:
+
+    python run_tests.py            # everything, grouped
+    python run_tests.py -k detr    # forwarded to pytest
+
+Groups are ordered heavy-first and sized so no process exceeds roughly
+twenty minutes of compile accumulation. Exit code is nonzero if any chunk
+fails; the per-chunk tail is echoed either way.
+"""
+import subprocess
+import sys
+
+# hand-grouped: heavy multi-device / e2e modules isolated; light golden and
+# host-side modules batched together
+GROUPS = [
+    ["tests/test_cross_mesh_equivalence.py"],
+    ["tests/test_multichip.py", "tests/test_loop_e2e.py"],
+    ["tests/test_synthetic_learning.py", "tests/test_steps.py"],
+    ["tests/test_detr.py", "tests/test_decode.py"],
+    ["tests/test_torch_parity.py", "tests/test_torch_parity_detr.py",
+     "tests/test_torch_parity_unimodal.py", "tests/test_unimodal.py"],
+    ["tests/test_flash_attention.py", "tests/test_model_forward.py",
+     "tests/test_critic_kernels.py"],
+    ["tests/test_analyze.py", "tests/test_data.py",
+     "tests/test_data_extras.py", "tests/test_eval.py",
+     "tests/test_losses.py", "tests/test_meteor15_golden.py",
+     "tests/test_meteor_synonyms.py", "tests/test_native.py",
+     "tests/test_rewards.py", "tests/test_segments.py",
+     "tests/test_tokenizer_golden.py", "tests/test_utils.py"],
+]
+
+
+def main() -> int:
+    extra = sys.argv[1:]
+    failed = []
+    for i, group in enumerate(GROUPS):
+        label = f"[chunk {i + 1}/{len(GROUPS)}]"
+        print(f"{label} pytest {' '.join(group)}", flush=True)
+        r = subprocess.run([sys.executable, "-m", "pytest", "-q", *group,
+                            *extra])
+        if r.returncode == 5:  # no tests collected (e.g. -k filtered out)
+            continue
+        if r.returncode != 0:
+            failed.append((group, r.returncode))
+    if failed:
+        print(f"FAILED chunks: {failed}")
+        return 1
+    print("all chunks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
