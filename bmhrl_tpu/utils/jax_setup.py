@@ -12,6 +12,18 @@ import os
 def setup_jax(cache_dir: str = None) -> None:
     import jax
 
+    # BMHRL_PLATFORM=cpu (or tpu/axon/...) pins the backend PROGRAMMATICALLY.
+    # Needed because platform plugins may set jax_platforms at interpreter
+    # startup (e.g. to "axon,cpu"), after which the JAX_PLATFORMS /
+    # JAX_PLATFORM_NAME env vars are silently ignored — and if the pinned
+    # accelerator is unreachable, even CPU-intended CLI runs die in backend
+    # init instead of falling back.
+    plat = os.environ.get("BMHRL_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     cache_dir = cache_dir or os.environ.get(
         "BMHRL_JAX_CACHE", os.path.expanduser("~/.cache/bmhrl_jax"))
     try:
