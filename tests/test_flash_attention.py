@@ -109,3 +109,38 @@ def test_folded_attend_kernel_matches_xla():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bgs,bsk->bgk", p, np.asarray(mem))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bsd_vmem_fallback_matches(monkeypatch):
+    """When no (bt, bq) tile fits the VMEM budget, _flash_bsd_call must
+    fall back to plain XLA attention with identical semantics (exercised
+    by shrinking the budget so every tile config is rejected)."""
+    rng = np.random.RandomState(7)
+    B, Sq, Sk, H, d = 2, 16, 300, 2, 128
+    q = jnp.asarray(rng.randn(B, Sq, H * d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Sk, H * d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Sk, H * d), jnp.float32)
+    mask = jnp.ones((B, Sk), jnp.int32).at[0, 200:].set(0)
+    want = np.asarray(fused.flash_attention_bsd(q, k, v, mask, H))
+    monkeypatch.setattr(fused, "_VMEM_BUDGET", 1)
+    assert fused._pick_tiles(B, 16, 384, H * d, 4, 8) is None
+    got = np.asarray(fused.flash_attention_bsd(q, k, v, mask, H))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_folded_attend_small_batch_tile():
+    """Long sources shrink the folded kernel's batch tile below 8 (the
+    VMEM-aware pick); the (bt, 1, S) mask block must keep the kernel exact
+    there (regression for the Mosaic tiling rule at bt < 8)."""
+    rng = np.random.RandomState(8)
+    B, G, S, draw = 5, 8, 800, 128
+    q = jnp.asarray(rng.randn(B, G, draw), jnp.float32)
+    mem = jnp.asarray(rng.randn(B, S, draw), jnp.float32)
+    mask = jnp.ones((B, S), bool).at[2, 640:].set(False)
+    out = np.asarray(fused.folded_attend(q, mem, mask, 0.1))
+    s = np.einsum("bgk,bsk->bgs", np.asarray(q) * 0.1, np.asarray(mem))
+    s = np.where(np.asarray(mask)[:, None, :], s, -1e9)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bgs,bsk->bgk", p, np.asarray(mem))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
