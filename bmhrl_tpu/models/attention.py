@@ -249,6 +249,18 @@ class MultiheadedAttention(nn.Module):
     def kv_cache_shape(self, B: int, L: int):
         return (B, self.H, L, self._d_k)
 
+    def merged_qkv_params(self):
+        """Concatenated (W, b) of the Q/K/V projections, f32: one
+        (d_in, 3*d_model) matmul produces all three un-headed projections
+        (exact — kernel concat). Used by the fused encoder path."""
+        pq = self.linear_Q2d.variables["params"]
+        pk = self.linear_K2d.variables["params"]
+        pv = self.linear_V2d.variables["params"]
+        w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]],
+                            axis=1)
+        b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+        return w, b
+
     def _project_qkv(self, Q, K, V):
         """Un-headed (B, S, d_model) Q/K/V projections, merged into fewer
         matmuls when the inputs alias (always the case in this model: self

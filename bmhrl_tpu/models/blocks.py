@@ -72,20 +72,26 @@ class FeatureEmbedder(nn.Module):
 
 
 class PositionwiseFeedForward(nn.Module):
-    """fc1 -> relu -> dropout -> fc2. ref: model/blocks.py:164-187."""
+    """fc1 -> relu -> dropout -> fc2. ref: model/blocks.py:164-187.
+
+    setup-style (attribute names are the param paths, identical to the
+    earlier compact layout) so the fused encoder path (ops/encoder_fused.py)
+    can read fc1/fc2 kernels off the bound module."""
 
     d_model: int
     d_ff: int
     dout_p: float
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = nn.Dense(self.d_ff, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.d_model, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dout_p)
+
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.Dense(self.d_ff, dtype=self.dtype, name="fc1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dout_p)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="fc2")(h)
-        return h
+        h = nn.relu(self.fc1(x))
+        h = self.drop(h, deterministic=deterministic)
+        return self.fc2(h)
 
 
 class ResidualConnection(nn.Module):

@@ -30,7 +30,16 @@ from bmhrl_tpu.ops.segments import frontier_goal as expand_goals_frontier
 
 class BMEncoderLayer(nn.Module):
     """Self-attention per modality, then symmetric cross-modal attention, then
-    per-modality FFN; prenorm residuals. ref: bm_hrl_agent.py:328-384."""
+    per-modality FFN; prenorm residuals. ref: bm_hrl_agent.py:328-384.
+
+    setup-style (attribute names are the param paths, unchanged from the
+    earlier compact layout) so the fused path can read projection/LN/FFN
+    weights off the bound children. When ``deterministic`` and the dims tile
+    the TPU lane width, the whole layer runs through the fused Pallas ops in
+    ops/encoder_fused.py — LN+QKV in one pass, attention epilogue + residual
+    (+ FFN block) in one pass — cutting the encoder's HBM traffic ~1.6x
+    (ROUND3_NOTES §1 floor analysis). Training (dropout active) keeps the
+    plain composition; both paths compute the same math."""
 
     d_model_M1: int
     d_model_M2: int
@@ -41,40 +50,57 @@ class BMEncoderLayer(nn.Module):
     H: int
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        att = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
+        self.self_att_M1 = MultiheadedAttention(
+            self.d_model_M1, self.d_model_M1, self.d_model_M1, self.H, **att)
+        self.self_att_M2 = MultiheadedAttention(
+            self.d_model_M2, self.d_model_M2, self.d_model_M2, self.H, **att)
+        self.bi_modal_att_M1 = MultiheadedAttention(
+            self.d_model_M1, self.d_model_M2, self.d_model_M2, self.H, **att)
+        self.bi_modal_att_M2 = MultiheadedAttention(
+            self.d_model_M2, self.d_model_M1, self.d_model_M1, self.H, **att)
+        self.ff_M1 = PositionwiseFeedForward(
+            self.d_model_M1, self.d_ff_M1, self.dout_p, self.dtype)
+        self.ff_M2 = PositionwiseFeedForward(
+            self.d_model_M2, self.d_ff_M2, self.dout_p, self.dtype)
+        self.res_M1 = [ResidualConnection(self.d_model_M1, self.dout_p)
+                       for _ in range(3)]
+        self.res_M2 = [ResidualConnection(self.d_model_M2, self.dout_p)
+                       for _ in range(3)]
+
     def __call__(self, x, masks, deterministic: bool = True):
+        from bmhrl_tpu.ops import encoder_fused as enc
+
         M1, M2 = x
         M1_mask, M2_mask = masks
-        att = dict(dout_p=self.dout_p, d_model=self.d_model, dtype=self.dtype)
-        self_att_M1 = MultiheadedAttention(
-            self.d_model_M1, self.d_model_M1, self.d_model_M1, self.H, **att,
-            name="self_att_M1")
-        self_att_M2 = MultiheadedAttention(
-            self.d_model_M2, self.d_model_M2, self.d_model_M2, self.H, **att,
-            name="self_att_M2")
-        bi_att_M1 = MultiheadedAttention(
-            self.d_model_M1, self.d_model_M2, self.d_model_M2, self.H, **att,
-            name="bi_modal_att_M1")
-        bi_att_M2 = MultiheadedAttention(
-            self.d_model_M2, self.d_model_M1, self.d_model_M1, self.H, **att,
-            name="bi_modal_att_M2")
-        ff_M1 = PositionwiseFeedForward(
-            self.d_model_M1, self.d_ff_M1, self.dout_p, self.dtype, name="ff_M1")
-        ff_M2 = PositionwiseFeedForward(
-            self.d_model_M2, self.d_ff_M2, self.dout_p, self.dtype, name="ff_M2")
-
-        res_M1 = [ResidualConnection(self.d_model_M1, self.dout_p, name=f"res_M1_{i}")
-                  for i in range(3)]
-        res_M2 = [ResidualConnection(self.d_model_M2, self.dout_p, name=f"res_M2_{i}")
-                  for i in range(3)]
-
         det = deterministic
-        M1 = res_M1[0](M1, lambda h: self_att_M1(h, h, h, M1_mask, deterministic=det), det)
-        M2 = res_M2[0](M2, lambda h: self_att_M2(h, h, h, M2_mask, deterministic=det), det)
-        M1m2 = res_M1[1](M1, lambda h: bi_att_M1(h, M2, M2, M2_mask, deterministic=det), det)
-        M2m1 = res_M2[1](M2, lambda h: bi_att_M2(h, M1, M1, M1_mask, deterministic=det), det)
-        M1m2 = res_M1[2](M1m2, lambda h: ff_M1(h, det), det)
-        M2m1 = res_M2[2](M2m1, lambda h: ff_M2(h, det), det)
+        if (det and not self.is_initializing()
+                and enc.encoder_fusion_qualifies(
+                    self.d_model_M1, self.d_model_M2, self.d_model,
+                    self.d_ff_M1, self.d_ff_M2)):
+            x1_M1 = enc.fused_self_attention(
+                self.self_att_M1, self.res_M1[0], M1, M1_mask, self.dtype)
+            x1_M2 = enc.fused_self_attention(
+                self.self_att_M2, self.res_M2[0], M2, M2_mask, self.dtype)
+            out_M1 = enc.fused_cross_ffn(
+                self.bi_modal_att_M1, self.res_M1[1], self.ff_M1,
+                self.res_M1[2], x1_M1, x1_M2, M2_mask, self.dtype)
+            out_M2 = enc.fused_cross_ffn(
+                self.bi_modal_att_M2, self.res_M2[1], self.ff_M2,
+                self.res_M2[2], x1_M2, x1_M1, M1_mask, self.dtype)
+            return out_M1, out_M2
+
+        M1 = self.res_M1[0](M1, lambda h: self.self_att_M1(
+            h, h, h, M1_mask, deterministic=det), det)
+        M2 = self.res_M2[0](M2, lambda h: self.self_att_M2(
+            h, h, h, M2_mask, deterministic=det), det)
+        M1m2 = self.res_M1[1](M1, lambda h: self.bi_modal_att_M1(
+            h, M2, M2, M2_mask, deterministic=det), det)
+        M2m1 = self.res_M2[1](M2, lambda h: self.bi_modal_att_M2(
+            h, M1, M1, M1_mask, deterministic=det), det)
+        M1m2 = self.res_M1[2](M1m2, lambda h: self.ff_M1(h, det), det)
+        M2m1 = self.res_M2[2](M2m1, lambda h: self.ff_M2(h, det), det)
         return M1m2, M2m1
 
 

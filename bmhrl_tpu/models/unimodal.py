@@ -33,18 +33,30 @@ class UnimodalEncoderLayer(nn.Module):
     H: int
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True):
-        att = MultiheadedAttention(
+    def setup(self):
+        self.self_att_M1 = MultiheadedAttention(
             self.d_m1, self.d_m1, self.d_m1, self.H, self.dout_p,
-            self.d_model, dtype=self.dtype, name="self_att_M1")
-        ff = PositionwiseFeedForward(self.d_m1, self.d_ff, self.dout_p,
-                                     self.dtype, name="ff_M1")
-        res0 = ResidualConnection(self.d_m1, self.dout_p, name="res_M1_0")
-        res2 = ResidualConnection(self.d_m1, self.dout_p, name="res_M1_2")
+            self.d_model, dtype=self.dtype)
+        self.ff_M1 = PositionwiseFeedForward(self.d_m1, self.d_ff,
+                                             self.dout_p, self.dtype)
+        self.res_M1_0 = ResidualConnection(self.d_m1, self.dout_p)
+        self.res_M1_2 = ResidualConnection(self.d_m1, self.dout_p)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        from bmhrl_tpu.ops import encoder_fused as enc
+
         det = deterministic
-        x = res0(x, lambda h: att(h, h, h, mask, deterministic=det), det)
-        x = res2(x, lambda h: ff(h, det), det)
+        if (det and not self.is_initializing()
+                and enc.encoder_fusion_qualifies(
+                    self.d_m1, self.d_model, self.d_ff)):
+            # LN+merged-QKV one pass; out-proj + residual + LN + FFN +
+            # residual one pass (ops/encoder_fused.py)
+            return enc.fused_self_ffn(
+                self.self_att_M1, self.res_M1_0, self.ff_M1, self.res_M1_2,
+                x, mask, self.dtype)
+        x = self.res_M1_0(x, lambda h: self.self_att_M1(
+            h, h, h, mask, deterministic=det), det)
+        x = self.res_M1_2(x, lambda h: self.ff_M1(h, det), det)
         return x
 
 

@@ -1,0 +1,431 @@
+"""Fused encoder-layer building blocks (Pallas, TPU).
+
+Round-3 floor analysis (ROUND3_NOTES.md §1): with flash attention on, the
+BMHRL encoder is HBM-bound at ~478 GB/s (58% of the v5e's ~819 GB/s
+roofline) with a ~1.7x traffic headroom that lives entirely in the
+LN/residual/FFN chains AROUND the attention ops — every LayerNorm, residual
+add and FFN intermediate round-trips the full (B, S, D) activation through
+HBM because XLA does not fuse elementwise/reduction producers into dot
+operands on TPU.
+
+These kernels close that gap for the encoder forward (serving/eval — the
+decode headline's dominant device cost). Weights at this model's dims are
+small enough to sit RESIDENT in VMEM (merged QKV (1024, 3072) bf16 = 6 MB is
+the largest), so each op streams activation row-tiles from HBM exactly once:
+
+  ln_matmul(x, g, b, W, bias)       y = LN(x) @ W + bias      [opt. relu]
+      replaces LN-write + LN-read + matmul-read  (3 passes -> 1)
+  matmul_residual(y, W, bias, x)    out = x + y @ W + bias
+      replaces proj-write + proj-read + residual-read (attention epilogue)
+  proj_res_ffn(ctx, Wo, bo, x, g, b, W1, b1, W2, b2)
+      x2 = x + ctx @ Wo + bo;  out = x2 + relu(LN(x2) @ W1 + b1) @ W2 + b2
+      the whole cross-attention epilogue + FFN block in one pass: the
+      XLA chain is ~9 activation passes (proj, residual, LN, fc1, relu,
+      fc2, residual), the kernel reads ctx + x and writes out (3 passes).
+
+All three are differentiable via custom VJPs that recompute the pure-XLA
+twin (flash-style: no intermediate is saved), though the model only routes
+here when deterministic (no dropout inside the fused blocks; training keeps
+the plain path).
+
+Parity targets: the composition ResidualConnection/PositionwiseFeedForward/
+Dense in models/blocks.py (ref: model/blocks.py:128-187) — the kernels
+compute the same math with f32 LN/accumulation and compute-dtype matmuls.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-5
+
+_ENC_FUSED = False
+
+# per-program VMEM budget; resident weights + double-buffered row blocks
+# must fit (v5e scoped VMEM is ~16 MB)
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def enable_encoder_fusion(on: bool = True) -> None:
+    global _ENC_FUSED
+    _ENC_FUSED = on
+
+
+def encoder_fusion_enabled() -> bool:
+    return _ENC_FUSED
+
+
+def encoder_fusion_qualifies(*dims: int) -> bool:
+    """All participating model dims must tile the 128-lane width."""
+    return _ENC_FUSED and all(d % 128 == 0 and d > 0 for d in dims)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    return pl
+
+
+def _compiler_params(n_axes: int):
+    if _interpret():
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+    return {"compiler_params": pltpu.CompilerParams(
+        dimension_semantics=("parallel",) * n_axes)}
+
+
+def _pick_rows(weight_bytes: int, per_row_bytes: int) -> int:
+    """Largest row tile whose double-buffered blocks + resident weights fit
+    the VMEM budget. Row tiles are multiples of 16 (bf16 sublane)."""
+    for br in (1024, 512, 256, 128, 64, 32, 16):
+        if weight_bytes + 2 * br * per_row_bytes <= _VMEM_BUDGET:
+            return br
+    return 16
+
+
+def _ln_rows(x32: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32 LayerNorm over the last dim (flax semantics, eps inside sqrt)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + _EPS) * g + b
+
+
+# ---------------------------------------------------------------------------
+# ln_matmul: y = [relu](LN(x) @ W + b)
+# ---------------------------------------------------------------------------
+
+def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
+                      relu: bool, cdt):
+    xn = _ln_rows(x_ref[:].astype(jnp.float32),
+                  g_ref[:].astype(jnp.float32),
+                  b_ref[:].astype(jnp.float32))
+    y = jax.lax.dot(xn.astype(cdt), w_ref[:],
+                    preferred_element_type=jnp.float32)
+    y = y + bias_ref[:].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _ln_matmul_ref(x, g, b, w, bias, relu, cdt):
+    """Pure-XLA twin: ResidualConnection.pre + Dense(dtype=cdt) semantics."""
+    xn = _ln_rows(x.astype(jnp.float32), g.astype(jnp.float32),
+                  b.astype(jnp.float32))
+    y = (xn.astype(cdt) @ w.astype(cdt)).astype(jnp.float32)
+    y = y + bias.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(cdt)
+
+
+def _ln_matmul_impl(x, g, b, w, bias, relu, cdt):
+    pl = _pl()
+    R, D = x.shape
+    Dout = w.shape[1]
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    per_row = (D * x.dtype.itemsize + Dout * itemsize  # x + o blocks
+               + D * 4)                                # f32 LN scratch
+    br = _pick_rows(D * Dout * itemsize + (2 * D + Dout) * 4, per_row)
+    Rp = _ceil_to(R, br)
+    xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
+    kernel = functools.partial(_ln_matmul_kernel, relu=relu, cdt=cdt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, D), lambda r: (r, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((D, Dout), lambda r: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, Dout), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, Dout), cdt),
+        interpret=_interpret(),
+        **_compiler_params(1),
+    )(xp, g.reshape(1, D), b.reshape(1, D), w.astype(cdt),
+      bias.reshape(1, Dout))
+    return out[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ln_matmul(x, g, b, w, bias, relu=False, cdt=jnp.bfloat16):
+    """y = [relu](LN(x) @ W + bias) over rows. x: (R, D); w: (D, Dout);
+    g/b: LN scale/bias (D,). Returns (R, Dout) in ``cdt``."""
+    return _ln_matmul_impl(x, g, b, w, bias, relu, cdt)
+
+
+def _ln_matmul_fwd(x, g, b, w, bias, relu, cdt):
+    return ln_matmul(x, g, b, w, bias, relu, cdt), (x, g, b, w, bias)
+
+
+def _ln_matmul_bwd(relu, cdt, res, ct):
+    x, g, b, w, bias = res
+    _, vjp = jax.vjp(lambda *a: _ln_matmul_ref(*a, relu, cdt),
+                     x, g, b, w, bias)
+    return vjp(ct)
+
+
+ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# matmul_residual: out = x + y @ W + b   (attention out-proj epilogue)
+# ---------------------------------------------------------------------------
+
+def _matmul_residual_kernel(y_ref, w_ref, bias_ref, x_ref, o_ref, *, cdt):
+    p = jax.lax.dot(y_ref[:].astype(cdt), w_ref[:],
+                    preferred_element_type=jnp.float32)
+    p = p + bias_ref[:].astype(jnp.float32)
+    o_ref[:] = (x_ref[:].astype(jnp.float32) + p).astype(o_ref.dtype)
+
+
+def _matmul_residual_ref(y, w, bias, x, cdt):
+    p = (y.astype(cdt) @ w.astype(cdt)).astype(jnp.float32)
+    p = p + bias.astype(jnp.float32)
+    return (x.astype(jnp.float32) + p).astype(x.dtype)
+
+
+def _matmul_residual_impl(y, w, bias, x, cdt):
+    pl = _pl()
+    R, D = y.shape
+    Dout = w.shape[1]
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    per_row = (D * y.dtype.itemsize + 2 * Dout * x.dtype.itemsize
+               + Dout * 4)
+    br = _pick_rows(D * Dout * itemsize + Dout * 4, per_row)
+    Rp = _ceil_to(R, br)
+    yp = jnp.pad(y, ((0, Rp - R), (0, 0)))
+    xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_matmul_residual_kernel, cdt=cdt),
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, D), lambda r: (r, 0)),
+            pl.BlockSpec((D, Dout), lambda r: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda r: (0, 0)),
+            pl.BlockSpec((br, Dout), lambda r: (r, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, Dout), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, Dout), x.dtype),
+        interpret=_interpret(),
+        **_compiler_params(1),
+    )(yp, w.astype(cdt), bias.reshape(1, Dout), xp)
+    return out[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def matmul_residual(y, w, bias, x, cdt=jnp.bfloat16):
+    """out = x + y @ W + bias. y: (R, D); w: (D, Dout); x: (R, Dout).
+    Returns (R, Dout) in x's dtype."""
+    return _matmul_residual_impl(y, w, bias, x, cdt)
+
+
+def _matmul_residual_fwd(y, w, bias, x, cdt):
+    return matmul_residual(y, w, bias, x, cdt), (y, w, bias, x)
+
+
+def _matmul_residual_bwd(cdt, res, ct):
+    y, w, bias, x = res
+    _, vjp = jax.vjp(lambda *a: _matmul_residual_ref(*a, cdt), y, w, bias, x)
+    return vjp(ct)
+
+
+matmul_residual.defvjp(_matmul_residual_fwd, _matmul_residual_bwd)
+
+
+# ---------------------------------------------------------------------------
+# proj_res_ffn: cross-attention epilogue + prenorm FFN block in one pass
+#   x2  = x + ctx @ Wo + bo
+#   out = x2 + relu(LN(x2) @ W1 + b1) @ W2 + b2
+# ---------------------------------------------------------------------------
+
+def _proj_res_ffn_kernel(ctx_ref, wo_ref, bo_ref, x_ref, g_ref, b_ref,
+                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, cdt):
+    p = jax.lax.dot(ctx_ref[:].astype(cdt), wo_ref[:],
+                    preferred_element_type=jnp.float32)
+    x2 = x_ref[:].astype(jnp.float32) + p + bo_ref[:].astype(jnp.float32)
+    xn = _ln_rows(x2, g_ref[:].astype(jnp.float32),
+                  b_ref[:].astype(jnp.float32))
+    h = jax.lax.dot(xn.astype(cdt), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
+    f = jax.lax.dot(h.astype(cdt), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+    o_ref[:] = (x2 + f + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _proj_res_ffn_ref(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt):
+    x2 = (x.astype(jnp.float32)
+          + (ctx.astype(cdt) @ wo.astype(cdt)).astype(jnp.float32)
+          + bo.astype(jnp.float32))
+    xn = _ln_rows(x2, g.astype(jnp.float32), b.astype(jnp.float32))
+    h = (xn.astype(cdt) @ w1.astype(cdt)).astype(jnp.float32)
+    h = jnp.maximum(h + b1.astype(jnp.float32), 0.0)
+    f = (h.astype(cdt) @ w2.astype(cdt)).astype(jnp.float32)
+    return (x2 + f + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def _proj_res_ffn_impl(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt):
+    pl = _pl()
+    R, Din = ctx.shape
+    D = x.shape[1]
+    Dff = w1.shape[1]
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    weight_bytes = (Din * D + D * Dff + Dff * D) * itemsize + (
+        2 * D + D + Dff + D) * 4
+    per_row = (Din * ctx.dtype.itemsize + 2 * D * x.dtype.itemsize
+               + (2 * D + Dff) * 4)  # x2/xn/h f32 scratch
+    br = _pick_rows(weight_bytes, per_row)
+    Rp = _ceil_to(R, br)
+    ctxp = jnp.pad(ctx, ((0, Rp - R), (0, 0)))
+    xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_proj_res_ffn_kernel, cdt=cdt),
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, Din), lambda r: (r, 0)),
+            pl.BlockSpec((Din, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((br, D), lambda r: (r, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((D, Dff), lambda r: (0, 0)),
+            pl.BlockSpec((1, Dff), lambda r: (0, 0)),
+            pl.BlockSpec((Dff, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, D), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, D), x.dtype),
+        interpret=_interpret(),
+        **_compiler_params(1),
+    )(ctxp, wo.astype(cdt), bo.reshape(1, D), xp, g.reshape(1, D),
+      b.reshape(1, D), w1.astype(cdt), b1.reshape(1, Dff), w2.astype(cdt),
+      b2.reshape(1, D))
+    return out[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def proj_res_ffn(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt=jnp.bfloat16):
+    """Fused cross-attention epilogue + prenorm FFN block (see module doc).
+    ctx: (R, Din) attention context; x: (R, D) residual stream;
+    wo: (Din, D); w1: (D, Dff); w2: (Dff, D); g/b: LN params (D,).
+    Returns (R, D) in x's dtype."""
+    return _proj_res_ffn_impl(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt)
+
+
+def _proj_res_ffn_fwd(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt):
+    out = proj_res_ffn(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt)
+    return out, (ctx, wo, bo, x, g, b, w1, b1, w2, b2)
+
+
+def _proj_res_ffn_bwd(cdt, res, ct):
+    _, vjp = jax.vjp(lambda *a: _proj_res_ffn_ref(*a, cdt), *res)
+    return vjp(ct)
+
+
+proj_res_ffn.defvjp(_proj_res_ffn_fwd, _proj_res_ffn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Encoder-layer glue: fused blocks over bound flax modules. Shared by
+# BMEncoderLayer (models/bmhrl.py) and UnimodalEncoderLayer
+# (models/unimodal.py); the callers gate on encoder_fusion_qualifies +
+# deterministic before routing here.
+# ---------------------------------------------------------------------------
+
+
+def attend_bsd(att, q3, k3, v3, mask, dtype):
+    """Attention middle on un-headed (B, S, H*d_k) projections: the flash
+    kernel when the shape qualifies, else the XLA headed path. ``att`` is a
+    bound MultiheadedAttention; ``mask`` is a (B, 1, Sk) key-pad mask."""
+    from bmhrl_tpu.ops import attention as fused
+
+    B, Sq, _ = q3.shape
+    Sk = k3.shape[1]
+    key_mask = None if mask is None else mask[:, 0, :]
+    if fused.flash_qualifies(Sq, Sk, att._d_k):
+        return fused.flash_attention_bsd(
+            q3, k3, v3, key_mask, att.H).astype(dtype)
+    from bmhrl_tpu.models.attention import scaled_dot_attention
+
+    m4 = None if mask is None else mask[:, None, :, :]
+    out = scaled_dot_attention(att._heads(q3), att._heads(k3),
+                               att._heads(v3), m4)
+    return out.transpose(0, 2, 1, 3).reshape(B, Sq, -1).astype(dtype)
+
+
+def _ln_params(res):
+    n = res.norm.variables["params"]
+    return n["scale"], n["bias"]
+
+
+def fused_self_attention(att, res, x, mask, dtype):
+    """res(x, self-attention(LN(x))): LN+merged-QKV and out-proj+residual
+    each run as single-pass Pallas ops."""
+    B, S, Dm = x.shape
+    w, b = att.merged_qkv_params()
+    g, be = _ln_params(res)
+    qkv = ln_matmul(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
+    q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
+    ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
+    po = att.linear_d2Q.variables["params"]
+    out = matmul_residual(ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
+                          x.reshape(B * S, Dm), dtype)
+    return out.reshape(B, S, Dm)
+
+
+def _attention_epilogue_ffn(att, ff, res_ff, ctx3, xq, dtype):
+    """out-proj + residual + LN + FFN + residual in ONE pass."""
+    B, Sq, Dq = xq.shape
+    po = att.linear_d2Q.variables["params"]
+    g, be = _ln_params(res_ff)
+    p1 = ff.fc1.variables["params"]
+    p2 = ff.fc2.variables["params"]
+    out = proj_res_ffn(
+        ctx3.reshape(B * Sq, -1), po["kernel"], po["bias"],
+        xq.reshape(B * Sq, Dq), g, be,
+        p1["kernel"], p1["bias"], p2["kernel"], p2["bias"], dtype)
+    return out.reshape(B, Sq, Dq)
+
+
+def fused_cross_ffn(att, res_att, ff, res_ff, xq, xkv, mask_kv, dtype):
+    """res(xq, cross-attention) then res(., FFN): the Q projection takes the
+    fused LN+matmul; the K/V projections of the raw other-modality memory
+    merge into one XLA matmul (no LN ahead of them — the reference applies
+    cross-attention to the raw residual stream); the tail is one pass."""
+    B, Sq, Dq = xq.shape
+    g, be = _ln_params(res_att)
+    pq = att.linear_Q2d.variables["params"]
+    q3 = ln_matmul(xq.reshape(B * Sq, Dq), g, be,
+                   pq["kernel"], pq["bias"], False, dtype)
+    q3 = q3.reshape(B, Sq, -1)
+    pk = att.linear_K2d.variables["params"]
+    pv = att.linear_V2d.variables["params"]
+    wkv = jnp.concatenate([pk["kernel"], pv["kernel"]], axis=1).astype(dtype)
+    bkv = jnp.concatenate([pk["bias"], pv["bias"]]).astype(dtype)
+    kv = xkv.astype(dtype) @ wkv + bkv
+    k3, v3 = jnp.split(kv, 2, axis=-1)
+    ctx3 = attend_bsd(att, q3, k3, v3, mask_kv, dtype)
+    return _attention_epilogue_ffn(att, ff, res_ff, ctx3, xq, dtype)
+
+
+def fused_self_ffn(att, res_att, ff, res_ff, x, mask, dtype):
+    """Unimodal layer body: res(x, self-attention) then res(., FFN) with the
+    whole attention epilogue + FFN block as one pass."""
+    B, S, Dm = x.shape
+    w, b = att.merged_qkv_params()
+    g, be = _ln_params(res_att)
+    qkv = ln_matmul(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
+    q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
+    ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
+    return _attention_epilogue_ffn(att, ff, res_ff, ctx3, x, dtype)

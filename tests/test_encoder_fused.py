@@ -1,0 +1,270 @@
+"""Fused encoder-layer Pallas ops (ops/encoder_fused.py) vs the plain
+composition — interpret mode on CPU.
+
+The fused path must be numerically interchangeable with the
+ResidualConnection/MultiheadedAttention/PositionwiseFeedForward chain it
+replaces (ref semantics: model/blocks.py:128-187, bm_hrl_agent.py:328-384):
+the encoder A/B gate flips it on/off per run, so any drift would change
+serving outputs between configurations.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from bmhrl_tpu.ops import encoder_fused as enc
+
+
+@pytest.fixture(autouse=True)
+def fusion_on():
+    enc.enable_encoder_fusion(True)
+    yield
+    enc.enable_encoder_fusion(False)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.randn(*shape), jnp.float32)
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def test_ln_matmul_matches_ref():
+    rng = np.random.RandomState(0)
+    R, D, Dout = 70, 128, 384  # R not a tile multiple -> exercises padding
+    x = _rand(rng, R, D)
+    g = _rand(rng, D) * 0.1 + 1.0
+    b = _rand(rng, D) * 0.1
+    w = _rand(rng, D, Dout) * 0.2
+    bias = _rand(rng, Dout) * 0.1
+    for relu in (False, True):
+        got = np.asarray(enc.ln_matmul(x, g, b, w, bias, relu, jnp.float32))
+        want = np.asarray(enc._ln_matmul_ref(x, g, b, w, bias, relu,
+                                             jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_matmul_residual_matches_ref():
+    rng = np.random.RandomState(1)
+    R, D, Dout = 50, 256, 128
+    y = _rand(rng, R, D)
+    w = _rand(rng, D, Dout) * 0.2
+    bias = _rand(rng, Dout) * 0.1
+    x = _rand(rng, R, Dout)
+    got = np.asarray(enc.matmul_residual(y, w, bias, x, jnp.float32))
+    want = np.asarray(enc._matmul_residual_ref(y, w, bias, x, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_proj_res_ffn_matches_ref():
+    rng = np.random.RandomState(2)
+    R, Din, D, Dff = 40, 256, 128, 384
+    ctx = _rand(rng, R, Din)
+    wo = _rand(rng, Din, D) * 0.2
+    bo = _rand(rng, D) * 0.1
+    x = _rand(rng, R, D)
+    g = _rand(rng, D) * 0.1 + 1.0
+    b = _rand(rng, D) * 0.1
+    w1 = _rand(rng, D, Dff) * 0.2
+    b1 = _rand(rng, Dff) * 0.1
+    w2 = _rand(rng, Dff, D) * 0.2
+    b2 = _rand(rng, D) * 0.1
+    got = np.asarray(enc.proj_res_ffn(ctx, wo, bo, x, g, b, w1, b1, w2, b2,
+                                      jnp.float32))
+    want = np.asarray(enc._proj_res_ffn_ref(ctx, wo, bo, x, g, b, w1, b1,
+                                            w2, b2, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_gradients_match_ref():
+    """custom VJP: grads through the fused ops == grads through the twins."""
+    rng = np.random.RandomState(3)
+    R, D, Dout = 24, 128, 256
+    x = _rand(rng, R, D)
+    g = _rand(rng, D) * 0.1 + 1.0
+    b = _rand(rng, D) * 0.1
+    w = _rand(rng, D, Dout) * 0.2
+    bias = _rand(rng, Dout) * 0.1
+
+    def loss_fused(x, g, b, w, bias):
+        return jnp.sum(enc.ln_matmul(x, g, b, w, bias, False,
+                                     jnp.float32) ** 2)
+
+    def loss_ref(x, g, b, w, bias):
+        return jnp.sum(enc._ln_matmul_ref(x, g, b, w, bias, False,
+                                          jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, g, b, w, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, g, b, w, bias)
+    for a, c in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_qualify_gate():
+    assert enc.encoder_fusion_qualifies(1024, 128, 1024, 1024, 512)
+    assert not enc.encoder_fusion_qualifies(1024, 100, 1024)  # unaligned
+    enc.enable_encoder_fusion(False)
+    assert not enc.encoder_fusion_qualifies(1024, 128, 1024)
+
+
+# ----------------------------------------------------------- encoder layer
+
+
+def _layer(dtype):
+    from bmhrl_tpu.models.bmhrl import BMEncoderLayer
+
+    return BMEncoderLayer(d_model_M1=256, d_model_M2=128, d_model=256,
+                          d_ff_M1=256, d_ff_M2=128, dout_p=0.1, H=2,
+                          dtype=dtype)
+
+
+def _inputs():
+    rng = np.random.RandomState(4)
+    B, Sv, Sa = 2, 20, 36
+    M1 = _rand(rng, B, Sv, 256)
+    M2 = _rand(rng, B, Sa, 128)
+    m1 = jnp.ones((B, 1, Sv), bool).at[1, :, 15:].set(False)
+    m2 = jnp.ones((B, 1, Sa), bool).at[0, :, 30:].set(False)
+    return (M1, M2), (m1, m2)
+
+
+def test_encoder_layer_fused_matches_plain_f32():
+    layer = _layer(jnp.float32)
+    x, masks = _inputs()
+    params = layer.init(jax.random.PRNGKey(0), x, masks)
+    enc.enable_encoder_fusion(False)
+    plain = layer.apply(params, x, masks, True)
+    enc.enable_encoder_fusion(True)
+    fused = layer.apply(params, x, masks, True)
+    for a, b in zip(plain, fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_encoder_layer_fused_matches_plain_bf16():
+    """bf16 production dtype: agreement at bf16 rounding scale."""
+    layer = _layer(jnp.bfloat16)
+    x, masks = _inputs()
+    params = layer.init(jax.random.PRNGKey(0), x, masks)
+    enc.enable_encoder_fusion(False)
+    plain = layer.apply(params, x, masks, True)
+    enc.enable_encoder_fusion(True)
+    fused = layer.apply(params, x, masks, True)
+    for a, b in zip(plain, fused):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=0.02 * scale)
+
+
+def test_encoder_layer_fused_gradients_match():
+    """Training through the fused path (custom VJPs) == plain-path grads."""
+    layer = _layer(jnp.float32)
+    x, masks = _inputs()
+    params = layer.init(jax.random.PRNGKey(0), x, masks)
+
+    def loss(p, on):
+        enc.enable_encoder_fusion(on)
+        a, b = layer.apply(p, x, masks, True)
+        return jnp.sum(a ** 2) + jnp.sum(b ** 2)
+
+    g0, _ = ravel_pytree(jax.grad(lambda p: loss(p, False))(params))
+    g1, _ = ravel_pytree(jax.grad(lambda p: loss(p, True))(params))
+    scale = np.abs(np.asarray(g0)).max()
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=2e-3, atol=2e-5 * scale)
+
+
+def test_param_tree_unchanged_by_setup_conversion():
+    """The setup-style rewrite must keep the exact param paths the torch
+    checkpoint interop (utils/checkpoint.py) depends on."""
+    layer = _layer(jnp.float32)
+    x, masks = _inputs()
+    params = layer.init(jax.random.PRNGKey(0), x, masks)["params"]
+    assert sorted(params.keys()) == [
+        "bi_modal_att_M1", "bi_modal_att_M2", "ff_M1", "ff_M2",
+        "res_M1_0", "res_M1_1", "res_M1_2",
+        "res_M2_0", "res_M2_1", "res_M2_2",
+        "self_att_M1", "self_att_M2"]
+    assert sorted(params["ff_M1"].keys()) == ["fc1", "fc2"]
+    assert sorted(params["res_M1_0"].keys()) == ["norm"]
+    assert sorted(params["self_att_M1"].keys()) == [
+        "linear_K2d", "linear_Q2d", "linear_V2d", "linear_d2Q"]
+
+
+def test_unimodal_encoder_layer_fused_matches_plain():
+    from bmhrl_tpu.models.unimodal import UnimodalEncoderLayer
+
+    layer = UnimodalEncoderLayer(d_m1=128, d_model=256, d_ff=128,
+                                 dout_p=0.1, H=2, dtype=jnp.float32)
+    rng = np.random.RandomState(6)
+    B, S = 2, 24
+    x = _rand(rng, B, S, 128)
+    mask = jnp.ones((B, 1, S), bool).at[1, :, 18:].set(False)
+    params = layer.init(jax.random.PRNGKey(0), x, mask)
+    assert sorted(params["params"].keys()) == [
+        "ff_M1", "res_M1_0", "res_M1_2", "self_att_M1"]
+    enc.enable_encoder_fusion(False)
+    plain = layer.apply(params, x, mask, True)
+    enc.enable_encoder_fusion(True)
+    fused = layer.apply(params, x, mask, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_fused_layer_under_data_sharding_matches_unsharded():
+    """The fused path must survive pjit with the batch sharded over the
+    8-device mesh (serving decode runs exactly this way): same outputs as
+    the unsharded run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    layer = _layer(jnp.float32)
+    rng = np.random.RandomState(7)
+    B, Sv, Sa = 8, 16, 24
+    M1 = _rand(rng, B, Sv, 256)
+    M2 = _rand(rng, B, Sa, 128)
+    m1 = jnp.ones((B, 1, Sv), bool)
+    m2 = jnp.ones((B, 1, Sa), bool).at[3, :, 20:].set(False)
+    params = layer.init(jax.random.PRNGKey(0), (M1, M2), (m1, m2))
+    base = layer.apply(params, (M1, M2), (m1, m2), True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    fwd = jax.jit(lambda p, x, masks: layer.apply(p, x, masks, True),
+                  in_shardings=(None, (shard, shard), (shard, shard)))
+    with mesh:
+        got = fwd(params, (jax.device_put(M1, shard),
+                           jax.device_put(M2, shard)),
+                  (jax.device_put(m1, shard), jax.device_put(m2, shard)))
+    for a, b in zip(base, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_agent_serving_forward_fused_matches_plain():
+    """Full BMHrlAgent forward (f32, deterministic): fusion on == off —
+    the encoder feeds both caption stacks, so this covers the wiring.
+    Dims are 128-aligned so the fused gate actually engages."""
+    from bmhrl_tpu.models.bmhrl import BMHrlAgent
+    from bmhrl_tpu.ops.masking import make_masks
+
+    model = BMHrlAgent(voc_size=50, d_video=128, d_audio=128, d_model=128,
+                       d_model_caps=36, att_heads=2, att_layers=1,
+                       d_goal=16, d_ff_v=128, d_ff_a=128, d_ff_c=128,
+                       dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    B, Sv, Sa, L = 2, 12, 16, 7
+    feats = {"rgb": _rand(rng, B, Sv, 128), "audio": _rand(rng, B, Sa, 128)}
+    caps = jnp.full((B, L), 4, jnp.int32).at[:, 0].set(2)
+    masks = make_masks(feats, caps, "audio_video", pad_idx=1)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "noise": key},
+                        (feats["rgb"], feats["audio"]), caps, masks)
+    enc.enable_encoder_fusion(False)
+    p0 = model.apply(params, (feats["rgb"], feats["audio"]), caps, masks)
+    enc.enable_encoder_fusion(True)
+    p1 = model.apply(params, (feats["rgb"], feats["audio"]), caps, masks)
+    np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p0[0]),
+                               rtol=3e-4, atol=3e-4)
