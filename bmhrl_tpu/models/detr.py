@@ -51,21 +51,34 @@ class DetrEncoderLayer(nn.Module):
     dout_p: float
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, src, mask, pos_enc, deterministic: bool = True):
-        att = MultiheadedAttention(
+    def setup(self):
+        self.self_attn = MultiheadedAttention(
             self.d_model, self.d_model, self.d_model, self.nhead,
-            self.dout_p, self.d_model, dtype=self.dtype, name="self_attn")
+            self.dout_p, self.d_model, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.linear1 = nn.Dense(self.dim_ff, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dout_p)
+
+    def __call__(self, src, mask, pos_enc, deterministic: bool = True):
+        from bmhrl_tpu.ops import encoder_fused as enc
+
         q = pos_enc(src, deterministic)
-        src2 = att(q, q, src, mask, deterministic=deterministic)
-        src = src + nn.Dropout(self.dout_p)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src.astype(jnp.float32)).astype(self.dtype)
-        h = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dout_p)(h, deterministic=deterministic)
-        src2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        src = src + nn.Dropout(self.dout_p)(src2, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src.astype(jnp.float32)).astype(self.dtype)
+        if (deterministic and not self.is_initializing()
+                and enc.encoder_fusion_qualifies(self.d_model, self.dim_ff)):
+            # post-norm fused passes: LN(src + out-proj) and LN(x + FFN(x))
+            return enc.fused_postnorm_layer(
+                self.self_attn, self.norm1, self.linear1, self.linear2,
+                self.norm2, src, q, mask, self.dtype)
+        src2 = self.self_attn(q, q, src, mask, deterministic=deterministic)
+        src = src + self.drop(src2, deterministic=deterministic)
+        src = self.norm1(src.astype(jnp.float32)).astype(self.dtype)
+        h = nn.relu(self.linear1(src))
+        h = self.drop(h, deterministic=deterministic)
+        src2 = self.linear2(h)
+        src = src + self.drop(src2, deterministic=deterministic)
+        return self.norm2(src.astype(jnp.float32)).astype(self.dtype)
 
 
 class DetrEncoder(nn.Module):

@@ -337,6 +337,153 @@ proj_res_ffn.defvjp(_proj_res_ffn_fwd, _proj_res_ffn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Post-norm variants (DETR encoder, ref encoder.py:39-75):
+#   matmul_residual_ln: out = LN(x + y @ W + b)      (attention epilogue)
+#   ffn_residual_ln:    out = LN(x + fc2(relu(fc1(x))))
+# ---------------------------------------------------------------------------
+
+def _matmul_residual_ln_kernel(y_ref, w_ref, bias_ref, x_ref, g_ref, b_ref,
+                               o_ref, *, cdt):
+    p = jax.lax.dot(y_ref[:].astype(cdt), w_ref[:],
+                    preferred_element_type=jnp.float32)
+    x2 = x_ref[:].astype(jnp.float32) + p + bias_ref[:].astype(jnp.float32)
+    o_ref[:] = _ln_rows(x2, g_ref[:].astype(jnp.float32),
+                        b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _matmul_residual_ln_ref(y, w, bias, x, g, b, cdt):
+    x2 = (x.astype(jnp.float32)
+          + (y.astype(cdt) @ w.astype(cdt)).astype(jnp.float32)
+          + bias.astype(jnp.float32))
+    return _ln_rows(x2, g.astype(jnp.float32),
+                    b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _matmul_residual_ln_impl(y, w, bias, x, g, b, cdt):
+    pl = _pl()
+    R, D = y.shape
+    Dout = w.shape[1]
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    per_row = (D * y.dtype.itemsize + 2 * Dout * x.dtype.itemsize
+               + 2 * Dout * 4)
+    br = _pick_rows(D * Dout * itemsize + 3 * Dout * 4, per_row)
+    Rp = _ceil_to(R, br)
+    yp = jnp.pad(y, ((0, Rp - R), (0, 0)))
+    xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_matmul_residual_ln_kernel, cdt=cdt),
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, D), lambda r: (r, 0)),
+            pl.BlockSpec((D, Dout), lambda r: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda r: (0, 0)),
+            pl.BlockSpec((br, Dout), lambda r: (r, 0)),
+            pl.BlockSpec((1, Dout), lambda r: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, Dout), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, Dout), x.dtype),
+        interpret=_interpret(),
+        **_compiler_params(1),
+    )(yp, w.astype(cdt), bias.reshape(1, Dout), xp, g.reshape(1, Dout),
+      b.reshape(1, Dout))
+    return out[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def matmul_residual_ln(y, w, bias, x, g, b, cdt=jnp.bfloat16):
+    """out = LN(x + y @ W + bias) (post-norm attention epilogue).
+    y: (R, D); w: (D, Dout); x: (R, Dout); g/b: LN params (Dout,)."""
+    return _matmul_residual_ln_impl(y, w, bias, x, g, b, cdt)
+
+
+def _matmul_residual_ln_fwd(y, w, bias, x, g, b, cdt):
+    return matmul_residual_ln(y, w, bias, x, g, b, cdt), (y, w, bias, x, g, b)
+
+
+def _matmul_residual_ln_bwd(cdt, res, ct):
+    _, vjp = jax.vjp(lambda *a: _matmul_residual_ln_ref(*a, cdt), *res)
+    return vjp(ct)
+
+
+matmul_residual_ln.defvjp(_matmul_residual_ln_fwd, _matmul_residual_ln_bwd)
+
+
+def _ffn_residual_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                            b_ref, o_ref, *, cdt):
+    x = x_ref[:].astype(jnp.float32)
+    h = jax.lax.dot(x.astype(cdt), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
+    f = jax.lax.dot(h.astype(cdt), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+    x2 = x + f + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = _ln_rows(x2, g_ref[:].astype(jnp.float32),
+                        b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ffn_residual_ln_ref(x, w1, b1, w2, b2, g, b, cdt):
+    h = (x.astype(cdt) @ w1.astype(cdt)).astype(jnp.float32)
+    h = jnp.maximum(h + b1.astype(jnp.float32), 0.0)
+    f = (h.astype(cdt) @ w2.astype(cdt)).astype(jnp.float32)
+    x2 = x.astype(jnp.float32) + f + b2.astype(jnp.float32)
+    return _ln_rows(x2, g.astype(jnp.float32),
+                    b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _ffn_residual_ln_impl(x, w1, b1, w2, b2, g, b, cdt):
+    pl = _pl()
+    R, D = x.shape
+    Dff = w1.shape[1]
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    weight_bytes = 2 * D * Dff * itemsize + (Dff + 3 * D) * 4
+    per_row = 2 * D * x.dtype.itemsize + (2 * D + Dff) * 4
+    br = _pick_rows(weight_bytes, per_row)
+    Rp = _ceil_to(R, br)
+    xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ffn_residual_ln_kernel, cdt=cdt),
+        grid=(Rp // br,),
+        in_specs=[
+            pl.BlockSpec((br, D), lambda r: (r, 0)),
+            pl.BlockSpec((D, Dff), lambda r: (0, 0)),
+            pl.BlockSpec((1, Dff), lambda r: (0, 0)),
+            pl.BlockSpec((Dff, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+            pl.BlockSpec((1, D), lambda r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, D), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, D), x.dtype),
+        interpret=_interpret(),
+        **_compiler_params(1),
+    )(xp, w1.astype(cdt), b1.reshape(1, Dff), w2.astype(cdt),
+      b2.reshape(1, D), g.reshape(1, D), b.reshape(1, D))
+    return out[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ffn_residual_ln(x, w1, b1, w2, b2, g, b, cdt=jnp.bfloat16):
+    """out = LN(x + fc2(relu(fc1(x)))) (post-norm FFN block). x: (R, D);
+    w1: (D, Dff); w2: (Dff, D); g/b: LN params (D,). One read of x, one
+    write of out — the Dff intermediate never touches HBM."""
+    return _ffn_residual_ln_impl(x, w1, b1, w2, b2, g, b, cdt)
+
+
+def _ffn_residual_ln_fwd(x, w1, b1, w2, b2, g, b, cdt):
+    out = ffn_residual_ln(x, w1, b1, w2, b2, g, b, cdt)
+    return out, (x, w1, b1, w2, b2, g, b)
+
+
+def _ffn_residual_ln_bwd(cdt, res, ct):
+    _, vjp = jax.vjp(lambda *a: _ffn_residual_ln_ref(*a, cdt), *res)
+    return vjp(ct)
+
+
+ffn_residual_ln.defvjp(_ffn_residual_ln_fwd, _ffn_residual_ln_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Encoder-layer glue: fused blocks over bound flax modules. Shared by
 # BMEncoderLayer (models/bmhrl.py) and UnimodalEncoderLayer
 # (models/unimodal.py); the callers gate on encoder_fusion_qualifies +
@@ -417,6 +564,34 @@ def fused_cross_ffn(att, res_att, ff, res_ff, xq, xkv, mask_kv, dtype):
     k3, v3 = jnp.split(kv, 2, axis=-1)
     ctx3 = attend_bsd(att, q3, k3, v3, mask_kv, dtype)
     return _attention_epilogue_ffn(att, ff, res_ff, ctx3, xq, dtype)
+
+
+def fused_postnorm_layer(att, norm1, lin1, lin2, norm2, src, q, mask, dtype):
+    """DETR post-norm encoder layer body (ref encoder.py:39-75) after
+    ``q = pos_enc(src)``: Q/K project from the pos-carrying ``q`` (merged
+    matmul), V from the raw ``src``; then LN(src + out-proj(ctx)) and
+    LN(x + FFN(x)) each run as one fused pass. ``norm1``/``norm2`` are
+    bound nn.LayerNorm modules, ``lin1``/``lin2`` bound nn.Dense."""
+    B, S, D = src.shape
+    pq = att.linear_Q2d.variables["params"]
+    pk = att.linear_K2d.variables["params"]
+    wqk = jnp.concatenate([pq["kernel"], pk["kernel"]], axis=1).astype(dtype)
+    bqk = jnp.concatenate([pq["bias"], pk["bias"]]).astype(dtype)
+    qk = q.astype(dtype) @ wqk + bqk
+    q3, k3 = jnp.split(qk, 2, axis=-1)
+    v3 = att.linear_V2d(src.astype(dtype))
+    ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
+    po = att.linear_d2Q.variables["params"]
+    n1 = norm1.variables["params"]
+    x1 = matmul_residual_ln(
+        ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
+        src.reshape(B * S, D), n1["scale"], n1["bias"], dtype)
+    p1 = lin1.variables["params"]
+    p2 = lin2.variables["params"]
+    n2 = norm2.variables["params"]
+    out = ffn_residual_ln(x1, p1["kernel"], p1["bias"], p2["kernel"],
+                          p2["bias"], n2["scale"], n2["bias"], dtype)
+    return out.reshape(B, S, D).astype(dtype)
 
 
 def fused_self_ffn(att, res_att, ff, res_ff, x, mask, dtype):

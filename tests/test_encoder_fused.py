@@ -243,6 +243,64 @@ def test_fused_layer_under_data_sharding_matches_unsharded():
                                    rtol=3e-4, atol=3e-4)
 
 
+def test_detr_encoder_layer_fused_matches_plain():
+    """Post-norm variant (DETR): fused LN(x + proj) / LN(x + FFN) passes
+    must match the plain composition (ref encoder.py:39-75 semantics)."""
+    from bmhrl_tpu.models.blocks import PositionalEncoder
+    from bmhrl_tpu.models.detr import DetrEncoderLayer
+
+    class Wrap(__import__("flax").linen.Module):
+        @__import__("flax").linen.compact
+        def __call__(self, src, mask, deterministic=True):
+            pos = PositionalEncoder(128, 0.1, name="pos")
+            return DetrEncoderLayer(128, 2, 256, 0.1, jnp.float32,
+                                    name="layer")(src, mask, pos,
+                                                  deterministic)
+
+    rng = np.random.RandomState(8)
+    B, S = 2, 20
+    src = _rand(rng, B, S, 128)
+    mask = jnp.ones((B, 1, S), bool).at[1, :, 15:].set(False)
+    model = Wrap()
+    params = model.init(jax.random.PRNGKey(0), src, mask)
+    assert sorted(params["params"]["layer"].keys()) == [
+        "linear1", "linear2", "norm1", "norm2", "self_attn"]
+    enc.enable_encoder_fusion(False)
+    plain = model.apply(params, src, mask, True)
+    enc.enable_encoder_fusion(True)
+    fused = model.apply(params, src, mask, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_detr_decode_tokens_identical_with_fusion():
+    """Serving decode of the DETR captioner (fusion-qualifying dims) must
+    emit IDENTICAL tokens with the fused encoder on and off."""
+    from bmhrl_tpu.models.detr import DetrCaption
+    from bmhrl_tpu.ops.masking import make_masks
+    from bmhrl_tpu.train.decode import decode
+
+    model = DetrCaption(voc_size=40, d_model=128, d_model_caps=16,
+                        d_goal=8, nhead=2, num_layers=1, n_time=2,
+                        dim_ff=128, dtype=jnp.float32)
+    rng = np.random.RandomState(9)
+    B, Sv, Sa = 2, 8, 10
+    feats = {"rgb": _rand(rng, B, Sv, 64), "flow": _rand(rng, B, Sv, 64),
+             "audio": _rand(rng, B, Sa, 16)}
+    trg = jnp.asarray([[2, 4, 5, 3, 1, 1], [2, 5, 6, 7, 3, 1]], jnp.int32)
+    masks = make_masks(feats, trg, "audio_video", 1)
+    k = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(
+        {"params": k, "dropout": k, "noise": k},
+        (feats["rgb"] + feats["flow"], feats["audio"]), trg, masks)
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    enc.enable_encoder_fusion(False)
+    t0, _ = decode(model, params, feats, masks_src, 6, 2, 3, 1, greedy=True)
+    enc.enable_encoder_fusion(True)
+    t1, _ = decode(model, params, feats, masks_src, 6, 2, 3, 1, greedy=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
 def test_agent_serving_forward_fused_matches_plain():
     """Full BMHrlAgent forward (f32, deterministic): fusion on == off —
     the encoder feeds both caption stacks, so this covers the wiring.
