@@ -44,8 +44,13 @@ _EPS = 1e-5
 _ENC_FUSED = False
 
 # per-program VMEM budget; resident weights + double-buffered row blocks
-# must fit (v5e scoped VMEM is ~16 MB)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# must fit (v5e scoped VMEM is ~16 MB). Higher than the flash kernel's
+# 10 MB: the weight blocks have a CONSTANT grid index, so they are fetched
+# once and hold one buffer (not two), and the f32 scratch is counted
+# explicitly in each per-row estimate. 12 MB doubles the row tile of the
+# video-side proj_res_ffn (64 -> 128 rows/program) and the DETR
+# ffn_residual_ln (32 -> 64), halving program count at serving batch.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def enable_encoder_fusion(on: bool = True) -> None:
