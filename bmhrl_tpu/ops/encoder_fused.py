@@ -88,10 +88,16 @@ def _compiler_params(n_axes: int):
         dimension_semantics=("parallel",) * n_axes)}
 
 
-def _pick_rows(weight_bytes: int, per_row_bytes: int) -> int:
+def _pick_rows(weight_bytes: int, per_row_bytes: int, rows: int = 1 << 30
+               ) -> int:
     """Largest row tile whose double-buffered blocks + resident weights fit
-    the VMEM budget. Row tiles are multiples of 16 (bf16 sublane)."""
+    the VMEM budget, clamped to the (16-aligned) row count so tiny calls
+    don't pad to a full tile. Row tiles are multiples of 16 (bf16 sublane).
+    """
+    cap = _ceil_to(max(rows, 1), 16)
     for br in (1024, 512, 256, 128, 64, 32, 16):
+        if br > cap and cap < 1024:
+            continue
         if weight_bytes + 2 * br * per_row_bytes <= _VMEM_BUDGET:
             return br
     return 16
@@ -139,7 +145,7 @@ def _ln_matmul_impl(x, g, b, w, bias, relu, cdt):
     itemsize = 2 if cdt == jnp.bfloat16 else 4
     per_row = (D * x.dtype.itemsize + Dout * itemsize  # x + o blocks
                + D * 4)                                # f32 LN scratch
-    br = _pick_rows(D * Dout * itemsize + (2 * D + Dout) * 4, per_row)
+    br = _pick_rows(D * Dout * itemsize + (2 * D + Dout) * 4, per_row, R)
     Rp = _ceil_to(R, br)
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
     kernel = functools.partial(_ln_matmul_kernel, relu=relu, cdt=cdt)
@@ -207,7 +213,7 @@ def _matmul_residual_impl(y, w, bias, x, cdt):
     itemsize = 2 if cdt == jnp.bfloat16 else 4
     per_row = (D * y.dtype.itemsize + 2 * Dout * x.dtype.itemsize
                + Dout * 4)
-    br = _pick_rows(D * Dout * itemsize + Dout * 4, per_row)
+    br = _pick_rows(D * Dout * itemsize + Dout * 4, per_row, R)
     Rp = _ceil_to(R, br)
     yp = jnp.pad(y, ((0, Rp - R), (0, 0)))
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
@@ -290,7 +296,7 @@ def _proj_res_ffn_impl(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt):
         2 * D + D + Dff + D) * 4
     per_row = (Din * ctx.dtype.itemsize + 2 * D * x.dtype.itemsize
                + (2 * D + Dff) * 4)  # x2/xn/h f32 scratch
-    br = _pick_rows(weight_bytes, per_row)
+    br = _pick_rows(weight_bytes, per_row, R)
     Rp = _ceil_to(R, br)
     ctxp = jnp.pad(ctx, ((0, Rp - R), (0, 0)))
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
@@ -371,7 +377,7 @@ def _matmul_residual_ln_impl(y, w, bias, x, g, b, cdt):
     itemsize = 2 if cdt == jnp.bfloat16 else 4
     per_row = (D * y.dtype.itemsize + 2 * Dout * x.dtype.itemsize
                + 2 * Dout * 4)
-    br = _pick_rows(D * Dout * itemsize + 3 * Dout * 4, per_row)
+    br = _pick_rows(D * Dout * itemsize + 3 * Dout * 4, per_row, R)
     Rp = _ceil_to(R, br)
     yp = jnp.pad(y, ((0, Rp - R), (0, 0)))
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
@@ -443,7 +449,7 @@ def _ffn_residual_ln_impl(x, w1, b1, w2, b2, g, b, cdt):
     itemsize = 2 if cdt == jnp.bfloat16 else 4
     weight_bytes = 2 * D * Dff * itemsize + (Dff + 3 * D) * 4
     per_row = 2 * D * x.dtype.itemsize + (2 * D + Dff) * 4
-    br = _pick_rows(weight_bytes, per_row)
+    br = _pick_rows(weight_bytes, per_row, R)
     Rp = _ceil_to(R, br)
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
     out = pl.pallas_call(
