@@ -194,6 +194,34 @@ def test_param_tree_unchanged_by_setup_conversion():
         "linear_K2d", "linear_Q2d", "linear_V2d", "linear_d2Q"]
 
 
+def test_encoder_layer_fused_with_flash_matches_plain():
+    """Production composition: fusion + flash TOGETHER (audio-side key
+    count >= MIN_SK so attend_bsd actually routes through the flash
+    kernel) must match the plain path with both off."""
+    from bmhrl_tpu.ops import attention as fatt
+
+    layer = _layer(jnp.float32)
+    rng = np.random.RandomState(10)
+    B, Sv, Sa = 2, 24, 300
+    x = (_rand(rng, B, Sv, 256), _rand(rng, B, Sa, 128))
+    masks = (jnp.ones((B, 1, Sv), bool),
+             jnp.ones((B, 1, Sa), bool).at[1, :, 270:].set(False))
+    params = layer.init(jax.random.PRNGKey(0), x, masks)
+    enc.enable_encoder_fusion(False)
+    fatt.enable_flash(False)
+    plain = layer.apply(params, x, masks, True)
+    enc.enable_encoder_fusion(True)
+    fatt.enable_flash(True)
+    try:
+        assert fatt.flash_qualifies(Sv, Sa, 128)  # cross-att leg uses flash
+        fused = layer.apply(params, x, masks, True)
+    finally:
+        fatt.enable_flash(False)
+    for a, b in zip(plain, fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=4e-4, atol=4e-4)
+
+
 def test_unimodal_encoder_layer_fused_matches_plain():
     from bmhrl_tpu.models.unimodal import UnimodalEncoderLayer
 
