@@ -102,6 +102,44 @@ def test_kernel_gradients_match_ref():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_kernels_at_production_dims():
+    """Flagship dims (video D=1024, merged QKV Dout=3072, FFN 1024; DETR
+    Dff=2048) with few rows: exercises the exact VMEM tile-pick branches
+    the serving shapes hit, in bf16 like production."""
+    rng = np.random.RandomState(11)
+    R = 48  # deliberately not a tile multiple
+    x = jnp.asarray(rng.randn(R, 1024), jnp.float32)
+    g = jnp.ones((1024,), jnp.float32)
+    b = jnp.zeros((1024,), jnp.float32)
+    w = jnp.asarray(rng.randn(1024, 3072) * 0.03, jnp.float32)
+    bias = jnp.zeros((3072,), jnp.float32)
+    got = np.asarray(enc.ln_matmul(x, g, b, w, bias, False, jnp.bfloat16),
+                     np.float32)
+    want = np.asarray(enc._ln_matmul_ref(x, g, b, w, bias, False,
+                                         jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.03 * np.abs(want).max())
+
+    ctx = jnp.asarray(rng.randn(R, 1024), jnp.float32)
+    wo = jnp.asarray(rng.randn(1024, 1024) * 0.03, jnp.float32)
+    w1 = jnp.asarray(rng.randn(1024, 1024) * 0.03, jnp.float32)
+    w2 = jnp.asarray(rng.randn(1024, 1024) * 0.03, jnp.float32)
+    z = jnp.zeros((1024,), jnp.float32)
+    got = np.asarray(enc.proj_res_ffn(ctx, wo, z, x, g, b, w1, z, w2, z,
+                                      jnp.bfloat16), np.float32)
+    want = np.asarray(enc._proj_res_ffn_ref(ctx, wo, z, x, g, b, w1, z,
+                                            w2, z, jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.03 * np.abs(want).max())
+
+    wf1 = jnp.asarray(rng.randn(1024, 2048) * 0.03, jnp.float32)
+    wf2 = jnp.asarray(rng.randn(2048, 1024) * 0.03, jnp.float32)
+    zf = jnp.zeros((2048,), jnp.float32)
+    got = np.asarray(enc.ffn_residual_ln(x, wf1, zf, wf2, z, g, b,
+                                         jnp.bfloat16), np.float32)
+    want = np.asarray(enc._ffn_residual_ln_ref(x, wf1, zf, wf2, z, g, b,
+                                               jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.03 * np.abs(want).max())
+
+
 def test_qualify_gate():
     assert enc.encoder_fusion_qualifies(1024, 128, 1024, 1024, 512)
     assert not enc.encoder_fusion_qualifies(1024, 100, 1024)  # unaligned
