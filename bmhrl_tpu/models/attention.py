@@ -98,12 +98,7 @@ class MultiheadedAttention(nn.Module):
         mid-caption)."""
         import jax
 
-        pq = self.linear_Q2d.variables["params"]
-        pk = self.linear_K2d.variables["params"]
-        pv = self.linear_V2d.variables["params"]
-        w = jnp.concatenate(
-            [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1)
-        b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+        w, b = self.merged_qkv_params()
         qkv = h.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
         q, k_t, v_t = (self._heads(y) for y in jnp.split(qkv, 3, axis=-1))
         k_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -275,11 +270,8 @@ class MultiheadedAttention(nn.Module):
         pv = self.linear_V2d.variables["params"]
         dt = self.dtype
         if Q is K:
-            pq = self.linear_Q2d.variables["params"]
-            w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]],
-                                axis=1).astype(dt)
-            b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]]).astype(dt)
-            qkv = Q.astype(dt) @ w + b
+            w, b = self.merged_qkv_params()
+            qkv = Q.astype(dt) @ w.astype(dt) + b.astype(dt)
             return tuple(jnp.split(qkv, 3, axis=-1))
         w = jnp.concatenate([pk["kernel"], pv["kernel"]], axis=1).astype(dt)
         b = jnp.concatenate([pk["bias"], pv["bias"]]).astype(dt)

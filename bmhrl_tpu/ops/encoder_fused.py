@@ -88,19 +88,23 @@ def _compiler_params(n_axes: int):
         dimension_semantics=("parallel",) * n_axes)}
 
 
-def _pick_rows(weight_bytes: int, per_row_bytes: int, rows: int = 1 << 30
-               ) -> int:
-    """Largest row tile whose double-buffered blocks + resident weights fit
-    the VMEM budget, clamped to the (16-aligned) row count so tiny calls
-    don't pad to a full tile. Row tiles are multiples of 16 (bf16 sublane).
-    """
-    cap = _ceil_to(max(rows, 1), 16)
+def _pick_rows(weight_bytes: int, per_row_bytes: int, rows: int = 1 << 30):
+    """Row tile choice: among tiles whose double-buffered blocks + resident
+    weights fit the VMEM budget, take the one minimizing the padded row
+    count (small/eval batches would otherwise pad up to 70% dead rows),
+    tie-broken toward the LARGEST tile (fewest programs). Tiles are
+    multiples of 16 (bf16 sublane). Returns None when even a 16-row tile
+    does not fit (caller must fall back to the pure-XLA twin — mirrors the
+    flash kernel's VMEM-overflow fallback)."""
+    rows = max(rows, 1)
+    best = None  # (padded_rows, -br)
     for br in (1024, 512, 256, 128, 64, 32, 16):
-        if br > cap and cap < 1024:
+        if weight_bytes + 2 * br * per_row_bytes > _VMEM_BUDGET:
             continue
-        if weight_bytes + 2 * br * per_row_bytes <= _VMEM_BUDGET:
-            return br
-    return 16
+        padded = _ceil_to(rows, br)
+        if best is None or padded < best[0]:
+            best = (padded, br)
+    return None if best is None else best[1]
 
 
 def _ln_rows(x32: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -144,8 +148,10 @@ def _ln_matmul_impl(x, g, b, w, bias, relu, cdt):
     Dout = w.shape[1]
     itemsize = 2 if cdt == jnp.bfloat16 else 4
     per_row = (D * x.dtype.itemsize + Dout * itemsize  # x + o blocks
-               + D * 4)                                # f32 LN scratch
+               + D * 4 + Dout * 4)       # f32 LN scratch + f32 accumulator
     br = _pick_rows(D * Dout * itemsize + (2 * D + Dout) * 4, per_row, R)
+    if br is None:
+        return _ln_matmul_ref(x, g, b, w, bias, relu, cdt)
     Rp = _ceil_to(R, br)
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
     kernel = functools.partial(_ln_matmul_kernel, relu=relu, cdt=cdt)
@@ -214,6 +220,8 @@ def _matmul_residual_impl(y, w, bias, x, cdt):
     per_row = (D * y.dtype.itemsize + 2 * Dout * x.dtype.itemsize
                + Dout * 4)
     br = _pick_rows(D * Dout * itemsize + Dout * 4, per_row, R)
+    if br is None:
+        return _matmul_residual_ref(y, w, bias, x, cdt)
     Rp = _ceil_to(R, br)
     yp = jnp.pad(y, ((0, Rp - R), (0, 0)))
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
@@ -297,6 +305,8 @@ def _proj_res_ffn_impl(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt):
     per_row = (Din * ctx.dtype.itemsize + 2 * D * x.dtype.itemsize
                + (2 * D + Dff) * 4)  # x2/xn/h f32 scratch
     br = _pick_rows(weight_bytes, per_row, R)
+    if br is None:
+        return _proj_res_ffn_ref(ctx, wo, bo, x, g, b, w1, b1, w2, b2, cdt)
     Rp = _ceil_to(R, br)
     ctxp = jnp.pad(ctx, ((0, Rp - R), (0, 0)))
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
@@ -378,6 +388,8 @@ def _matmul_residual_ln_impl(y, w, bias, x, g, b, cdt):
     per_row = (D * y.dtype.itemsize + 2 * Dout * x.dtype.itemsize
                + 2 * Dout * 4)
     br = _pick_rows(D * Dout * itemsize + 3 * Dout * 4, per_row, R)
+    if br is None:
+        return _matmul_residual_ln_ref(y, w, bias, x, g, b, cdt)
     Rp = _ceil_to(R, br)
     yp = jnp.pad(y, ((0, Rp - R), (0, 0)))
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
@@ -450,6 +462,8 @@ def _ffn_residual_ln_impl(x, w1, b1, w2, b2, g, b, cdt):
     weight_bytes = 2 * D * Dff * itemsize + (Dff + 3 * D) * 4
     per_row = 2 * D * x.dtype.itemsize + (2 * D + Dff) * 4
     br = _pick_rows(weight_bytes, per_row, R)
+    if br is None:
+        return _ffn_residual_ln_ref(x, w1, b1, w2, b2, g, b, cdt)
     Rp = _ceil_to(R, br)
     xp = jnp.pad(x, ((0, Rp - R), (0, 0)))
     out = pl.pallas_call(

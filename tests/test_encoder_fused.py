@@ -140,6 +140,32 @@ def test_kernels_at_production_dims():
     np.testing.assert_allclose(got, want, atol=0.03 * np.abs(want).max())
 
 
+def test_vmem_fallback_to_xla_twin(monkeypatch):
+    """When even a 16-row tile cannot fit VMEM (oversized dims), every
+    fused op must fall back to its pure-XLA twin with identical semantics
+    instead of failing at Mosaic compile time."""
+    rng = np.random.RandomState(12)
+    R, D, Dout = 24, 128, 256
+    x = _rand(rng, R, D)
+    g = _rand(rng, D) * 0.1 + 1.0
+    b = _rand(rng, D) * 0.1
+    w = _rand(rng, D, Dout) * 0.2
+    bias = _rand(rng, Dout) * 0.1
+    want = np.asarray(enc.ln_matmul(x, g, b, w, bias, False, jnp.float32))
+    monkeypatch.setattr(enc, "_VMEM_BUDGET", 1)
+    assert enc._pick_rows(10, 10, 16) is None
+    got = np.asarray(enc.ln_matmul(x, g, b, w, bias, False, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # post-norm FFN fallback too
+    w2 = _rand(rng, Dout, D) * 0.2
+    z = jnp.zeros((Dout,), jnp.float32)
+    zd = jnp.zeros((D,), jnp.float32)
+    out = np.asarray(enc.ffn_residual_ln(x, w, z, w2, zd, g, b, jnp.float32))
+    monkeypatch.setattr(enc, "_VMEM_BUDGET", 12 * 1024 * 1024)
+    ref = np.asarray(enc.ffn_residual_ln(x, w, z, w2, zd, g, b, jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_qualify_gate():
     assert enc.encoder_fusion_qualifies(1024, 128, 1024, 1024, 512)
     assert not enc.encoder_fusion_qualifies(1024, 100, 1024)  # unaligned
