@@ -77,3 +77,53 @@ for B, Sv, Sa in SHAPES:
           f"flash+fused={res['flash+fused']:.1f} ms  "
           f"(fused vs flash {res['flash']/res['flash+fused']:.2f}x)",
           flush=True)
+
+
+# ---- DETR encoder (post-norm kernels) at its serving shapes ----------------
+from bmhrl_tpu.models.detr import DetrCaption  # noqa: E402
+
+for B, Sv in ((32, 300), (128, 300)):
+  try:
+      dmodel = DetrCaption(voc_size=VOC)
+      feats = {
+          "rgb": jnp.asarray(rng.rand(B, Sv, 1024), jnp.float32),
+          "flow": jnp.asarray(rng.rand(B, Sv, 1024), jnp.float32),
+          "audio": jnp.asarray(rng.rand(B, 128, 128), jnp.float32),
+      }
+      masks = make_masks(feats, None, "audio_video", 1)
+      trg0 = jnp.full((B, 8), 1, jnp.int32).at[:, 0].set(2)
+      m0 = make_masks(feats, trg0, "audio_video", 1)
+      k = jax.random.PRNGKey(0)
+      params = jax.jit(dmodel.init)(
+          {"params": k, "dropout": k, "noise": k},
+          (feats["rgb"] + feats["flow"], feats["audio"]), trg0, m0)
+
+      def make_detr_enc():
+          @jax.jit
+          def enc(params, V, A, masks):
+              mem, hs_obj = dmodel.apply(params, V, A, masks, method="encode")
+              return jnp.sum(mem[:, 0, 0]) + jnp.sum(hs_obj[:, 0, 0])
+          return enc
+
+      V = feats["rgb"] + feats["flow"]
+      A = feats["audio"]
+      res = {}
+      for name, flash_on, fused_on in legs:
+          fused.enable_flash(flash_on)
+          enc_fused.enable_encoder_fusion(fused_on)
+          enc = make_detr_enc()
+          float(enc(params, V, A, masks))
+          iters = 5
+          t0 = time.time()
+          for _ in range(iters):
+              s = enc(params, V, A, masks)
+          float(s)
+          res[name] = (time.time() - t0) / iters * 1e3
+      if res:
+          print(f"DETR B={B} Sv={Sv}: xla={res['xla']:.1f} ms "
+                f"flash={res['flash']:.1f} ms "
+                f"flash+fused={res['flash+fused']:.1f} ms  "
+                f"(fused vs flash {res['flash']/res['flash+fused']:.2f}x)",
+                flush=True)
+  except Exception as e:
+    print(f"DETR leg B={B} failed: {e}", flush=True)
