@@ -5,8 +5,8 @@ Covered here: meta-CSV -> reference-JSON conversion (:220-228), the
 msrvtt/vatex val-CSV builders (time-mangled ids, :195-217), and a
 missing-feature filter. The network half (YouTube download via pytube,
 moviepy clipping, and dispatch into the video_features extraction submodule)
-is inherently online tooling — `download_and_extract` documents the required
-pipeline and raises with instructions instead of silently failing.
+lives in :mod:`bmhrl_tpu.data.acquisition`; `download_and_extract` here is
+the compatibility entry point that routes into it.
 """
 from __future__ import annotations
 
@@ -87,14 +87,14 @@ def filter_missing_features(meta_path: str, feature_dir: str,
     return len(kept)
 
 
-def download_and_extract(*_args, **_kwargs):
+def download_and_extract(specs, feature_type: str, work_dir: str,
+                         extract_cmd: str, feature_root: str, **kwargs):
     """The reference's online acquisition path (pytube download -> moviepy
-    clip -> I3D/VGGish extraction via the `video_features` toolkit). Network
-    and GPU-extraction dependent; not runnable in an offline TPU image."""
-    raise RuntimeError(
-        "download_and_extract requires network + the external "
-        "`video_features` extraction toolkit. Pipeline: download each clip "
-        "(e.g. yt-dlp), cut to [start, end], then extract I3D rgb+flow "
-        "(25 fps, stack/step 64) to {vid}_rgb.npy/{vid}_flow.npy and VGGish "
-        "to {vid}.npy; finally run filter_missing_features + "
-        "convert_meta_to_json to produce the val CSV/JSON pair.")
+    clip -> I3D/VGGish extraction via the `video_features` toolkit).
+
+    Implemented in :mod:`bmhrl_tpu.data.acquisition` with import-gated
+    backends (pytube/yt-dlp, moviepy/ffmpeg); on an offline image the
+    default backends raise with the full pipeline recipe."""
+    from bmhrl_tpu.data.acquisition import acquire
+    return acquire(specs, feature_type, work_dir, extract_cmd,
+                   feature_root, **kwargs)
