@@ -25,7 +25,10 @@ The kernel wins at every serving shape, so config.use_pallas_attention
 defaults to True and bench.py measures with it on (the production
 configuration). Shapes whose (bt, bq) tiling can't fit VMEM fall back to
 plain XLA attention inside _flash_bsd_call; short sources (< MIN_SK keys)
-never enter the kernel at all.
+never enter the kernel at all. The key floor dropped 256 -> 128 after a
+second A/B on the re-tiled grid (see MIN_SK below): letting the Sv=128
+attention sites into the kernel took the B=1024 encoder forward
+114 -> 103 ms (1.34x vs XLA).
 
 Numerics match models/attention.scaled_dot_attention exactly: scale by
 1/sqrt(d_k), additive -1e9 where the (B, Sk) key mask is False, optional
@@ -34,6 +37,7 @@ causal tril, f32 scores/accumulation, dtype-preserving I/O.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -41,7 +45,18 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e9
-MIN_SK = 256  # below this the XLA path is faster (kernel launch overhead)
+# Minimum key length for the flash kernel. The original 256 floor was
+# measured on the round-2 (batch*head, q-tile) grid, whose per-program
+# launch overhead lost to XLA at short keys. On the re-tiled (batch-tile,
+# q-tile) grid the on-chip A/B (v5e, 2026-08-18) shows 128-key sites WIN at
+# serving batch — encoder fwd B=1024 Sv=128/Sa=256: 113.5 -> 103.3 ms
+# (1.34x vs XLA, was 1.21x), B=256: 30.6 -> 28.8 ms — because the Sv=128
+# self/cross attention sites previously fell back to the XLA headed path.
+# B=32 is inconclusive under tunnel dispatch noise (flash leg 6.5-9.1 ms
+# across repeats, both settings). Floor kept at 128: shorter keys were
+# never measured and the per-head loop's lane-aligned slices assume
+# d_k-wide tiles. Env-overridable for A/B.
+MIN_SK = int(os.environ.get("BMHRL_FLASH_MIN_SK", "128"))
 
 _FLASH_ENABLED = False
 
