@@ -8,8 +8,9 @@ add and FFN intermediate round-trips the full (B, S, D) activation through
 HBM because XLA does not fuse elementwise/reduction producers into dot
 operands on TPU.
 
-These kernels close that gap for the encoder forward (serving/eval — the
-decode headline's dominant device cost). Weights at this model's dims are
+These kernels were built to close that gap for the encoder forward
+(serving/eval — the decode headline's dominant device cost); the on-chip
+measurement below shows how much of it they actually close. Weights at this model's dims are
 small enough to sit RESIDENT in VMEM (merged QKV (1024, 3072) bf16 = 6 MB is
 the largest), so each op streams activation row-tiles from HBM exactly once:
 
@@ -27,6 +28,35 @@ All three are differentiable via custom VJPs that recompute the pure-XLA
 twin (flash-style: no intermediate is saved), though the model only routes
 here when deterministic (no dropout inside the fused blocks; training keeps
 the plain path).
+
+ON-CHIP MEASUREMENT (v5e, 2026-08-18; tools/encoder_fused_kernbench.py,
+tools/encoder_fused_ab.py, tools/encoder_hlo_diff.py):
+
+1. Per-op, the picture splits by arithmetic intensity. The
+   bandwidth-dominated tail fusions WIN in isolation — proj_res_ffn
+   1.18-1.27x, matmul_residual_ln 1.03-1.55x, ffn_residual_ln 0.97-1.20x,
+   matmul_residual 0.94-1.21x — but ln_matmul LOSES at every serving row
+   count (0.53-0.92x): the QKV GEMM is compute-bound (~768 FLOP/byte), XLA
+   already runs it at ~49% MFU, and the row-tiled schedule (M<=128
+   rows/program against the full (1024, 3072) resident weight) starves the
+   MXU while the LN fusion saves only ~15% of traffic. The glue therefore
+   routes LN+QKV through _ln_matmul_xla (keeping the merged single-GEMM
+   projection) and uses Pallas only where it measured faster.
+2. In COMPOSITION the glue still loses or ties: optimized-HLO cost
+   analysis shows the restructured graph moves MORE XLA-visible bytes than
+   the plain flax composition (60.9 vs 54.5 GB at B=1024 with kernels on;
+   72.4 GB with the f32-epilogue twins) — extra layout copies and convert
+   chains appear at the Pallas/XLA boundaries (e.g. 67 MB `_heads` copies
+   on the attention sites that fall back to the XLA path). After the flash
+   MIN_SK floor dropped to 128 (ops/attention.py — the real win extracted
+   from this investigation: it removed the fallback sites and sped the
+   production flash path ~10% at B=1024), the glue measures 0.98x at the
+   serving shapes: a wash. `use_fused_encoder` therefore stays OPT-IN/off;
+   flash-only is the measured production configuration.
+3. Diagnostics kept for future work: BMHRL_FUSED_OPS (per-op
+   kill-switches, _op_on below) and BMHRL_FUSED_PARTS (sublayer bisect in
+   BMEncoderLayer). ln_matmul stays (tested, differentiable) as the record
+   of the experiment.
 
 Parity targets: the composition ResidualConnection/PositionwiseFeedForward/
 Dense in models/blocks.py (ref: model/blocks.py:128-187) — the kernels
@@ -139,6 +169,22 @@ def _ln_matmul_ref(x, g, b, w, bias, relu, cdt):
     y = y + bias.astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
+    return y.astype(cdt)
+
+
+def _ln_matmul_xla(x, g, b, w, bias, relu, cdt):
+    """Glue-path XLA LN+matmul with the FLAX epilogue (bias add in the
+    compute dtype, no f32 round trip of the (R, Dout) output) — exactly what
+    the plain layer computes via norm + nn.Dense(dtype=cdt). The kernel-exact
+    twin _ln_matmul_ref keeps its f32 epilogue for VJP recompute/parity, but
+    routing THAT through the glue costs a full-width f32 materialization of
+    the projection output (3.2 GB on the audio QKV at B=1024), which showed
+    up as composition loss in the on-chip A/B."""
+    xn = _ln_rows(x.astype(jnp.float32), g.astype(jnp.float32),
+                  b.astype(jnp.float32))
+    y = xn.astype(cdt) @ w.astype(cdt) + bias.astype(cdt)
+    if relu:
+        y = jnp.maximum(y, 0)
     return y.astype(cdt)
 
 
@@ -541,18 +587,35 @@ def _ln_params(res):
     return n["scale"], n["bias"]
 
 
+def _op_on(name: str) -> bool:
+    """Diagnostic kill-switch (trace-time): BMHRL_FUSED_OPS limits which
+    Pallas ops the glue uses — a comma list of op names, or unset/'all'
+    for all. Ops switched off run their pure-XLA twins, keeping the glue
+    structure (merged projections, BSD attend) intact so A/B runs can
+    separate kernel cost from composition cost."""
+    import os
+    v = os.environ.get("BMHRL_FUSED_OPS", "all")
+    return v == "all" or name in v.split(",")
+
+
 def fused_self_attention(att, res, x, mask, dtype):
-    """res(x, self-attention(LN(x))): LN+merged-QKV and out-proj+residual
-    each run as single-pass Pallas ops."""
+    """res(x, self-attention(LN(x))): merged-QKV as ONE (D, 3D) GEMM (XLA —
+    the on-chip per-op A/B measured the Pallas ln_matmul at 0.53-0.92x of
+    XLA at every serving row count: the GEMM is compute-bound, so the
+    row-tiled schedule's M=~128 programs starve the MXU while the LN fusion
+    saves almost no traffic; see tools/encoder_fused_kernbench.py), then
+    out-proj+residual as a single-pass Pallas op."""
     B, S, Dm = x.shape
     w, b = att.merged_qkv_params()
     g, be = _ln_params(res)
-    qkv = ln_matmul(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
+    qkv = _ln_matmul_xla(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
     q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
     ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     po = att.linear_d2Q.variables["params"]
-    out = matmul_residual(ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
-                          x.reshape(B * S, Dm), dtype)
+    mr = matmul_residual if _op_on("matmul_residual") else \
+        (lambda y, w, bias, xx, cdt: _matmul_residual_ref(y, w, bias, xx, cdt))
+    out = mr(ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
+             x.reshape(B * S, Dm), dtype)
     return out.reshape(B, S, Dm)
 
 
@@ -563,7 +626,9 @@ def _attention_epilogue_ffn(att, ff, res_ff, ctx3, xq, dtype):
     g, be = _ln_params(res_ff)
     p1 = ff.fc1.variables["params"]
     p2 = ff.fc2.variables["params"]
-    out = proj_res_ffn(
+    prf = proj_res_ffn if _op_on("proj_res_ffn") else \
+        (lambda *a: _proj_res_ffn_ref(*a))
+    out = prf(
         ctx3.reshape(B * Sq, -1), po["kernel"], po["bias"],
         xq.reshape(B * Sq, Dq), g, be,
         p1["kernel"], p1["bias"], p2["kernel"], p2["bias"], dtype)
@@ -578,8 +643,10 @@ def fused_cross_ffn(att, res_att, ff, res_ff, xq, xkv, mask_kv, dtype):
     B, Sq, Dq = xq.shape
     g, be = _ln_params(res_att)
     pq = att.linear_Q2d.variables["params"]
-    q3 = ln_matmul(xq.reshape(B * Sq, Dq), g, be,
-                   pq["kernel"], pq["bias"], False, dtype)
+    # XLA LN+matmul: the Pallas ln_matmul measured slower (see
+    # fused_self_attention); the tail proj_res_ffn is the measured winner.
+    q3 = _ln_matmul_xla(xq.reshape(B * Sq, Dq), g, be,
+                        pq["kernel"], pq["bias"], False, dtype)
     q3 = q3.reshape(B, Sq, -1)
     pk = att.linear_K2d.variables["params"]
     pv = att.linear_V2d.variables["params"]
@@ -608,14 +675,18 @@ def fused_postnorm_layer(att, norm1, lin1, lin2, norm2, src, q, mask, dtype):
     ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     po = att.linear_d2Q.variables["params"]
     n1 = norm1.variables["params"]
-    x1 = matmul_residual_ln(
+    mrl = matmul_residual_ln if _op_on("matmul_residual_ln") else \
+        (lambda *a: _matmul_residual_ln_ref(*a))
+    x1 = mrl(
         ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
         src.reshape(B * S, D), n1["scale"], n1["bias"], dtype)
     p1 = lin1.variables["params"]
     p2 = lin2.variables["params"]
     n2 = norm2.variables["params"]
-    out = ffn_residual_ln(x1, p1["kernel"], p1["bias"], p2["kernel"],
-                          p2["bias"], n2["scale"], n2["bias"], dtype)
+    frl = ffn_residual_ln if _op_on("ffn_residual_ln") else \
+        (lambda *a: _ffn_residual_ln_ref(*a))
+    out = frl(x1, p1["kernel"], p1["bias"], p2["kernel"],
+              p2["bias"], n2["scale"], n2["bias"], dtype)
     return out.reshape(B, S, D).astype(dtype)
 
 
@@ -625,7 +696,9 @@ def fused_self_ffn(att, res_att, ff, res_ff, x, mask, dtype):
     B, S, Dm = x.shape
     w, b = att.merged_qkv_params()
     g, be = _ln_params(res_att)
-    qkv = ln_matmul(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
+    # XLA LN + merged-QKV GEMM (Pallas ln_matmul measured slower; see
+    # fused_self_attention)
+    qkv = _ln_matmul_xla(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
     q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
     ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     return _attention_epilogue_ffn(att, ff, res_ff, ctx3, x, dtype)
