@@ -48,6 +48,9 @@ def test_qualify_gate():
     assert not fused.flash_qualifies(31, 100, 128)   # short keys
     assert not fused.flash_qualifies(31, 512, 100)   # unaligned d_k
     assert fused.flash_qualifies(31, 512, 256)
+    # 128-key sources qualify since the floor dropped to 128 (measured on
+    # the batch-tiled grid: 1.34x at B=1024 Sv=128 — ops/attention.py)
+    assert fused.flash_qualifies(31, 128, 256)
     fused.enable_flash(False)
     assert not fused.flash_qualifies(31, 512, 256)
 
