@@ -68,6 +68,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-5
 
@@ -598,6 +599,342 @@ def _op_on(name: str) -> bool:
     return v == "all" or name in v.split(",")
 
 
+# ---------------------------------------------------------------------------
+# Monolithic flash + epilogue kernels (the "next frontier" named by the
+# round-3 composition A/B): the attention middle and its epilogue run in ONE
+# Pallas program, so the (B, S, H*d_k) context NEVER exists — each head's
+# (bt, bq, d_k) context block is multiplied into the matching resident
+# out-proj weight slice and accumulated in f32 — and there is no Pallas/XLA
+# boundary between attention and epilogue for the compiler to insert layout
+# copies at (the measured composition tax, ROUND3_NOTES §9.2).
+#
+# Per attention site vs the split flash + epilogue-op composition this
+# removes one full (B, Sq, H*d_k) write + read (the ctx round trip) on top
+# of the per-op fusions' savings. Three epilogues, matching the split ops:
+#
+#   flash_mr  (self-att):      out = x + ctx @ Wo + bo
+#   flash_prf (cross-att+FFN): x2 = x + ctx @ Wo + bo
+#                              out = x2 + relu(LN(x2) @ W1 + b1) @ W2 + b2
+#   flash_mrl (DETR postnorm): out = LN(x + ctx @ Wo + bo)
+#
+# Grid/tiling follow ops/attention.py's batch-tiled flash layout
+# ((B/bt, Sq/bq), q-tiles innermost so K/V blocks stay VMEM-resident across
+# q-tiles); weights have constant block indices (fetched once). Numerics
+# match the split path exactly-in-kind: f32 scores/softmax/accumulation,
+# compute-dtype (cdt) matmul operands, f32 LN.
+# ---------------------------------------------------------------------------
+
+
+def _attend_outproj_acc(q_ref, k_ref, v_ref, mask_ref, wo_ref, *, H: int,
+                        scale: float, cdt):
+    """Flash attention over all heads with the out-projection folded in:
+    returns sum_h softmax(q_h k_h^T) v_h @ Wo[h] as (bt, bq, Dq) f32.
+    Refs as in ops/attention._flash_bsd_kernel plus resident wo (HD, Dq)."""
+    d = q_ref.shape[2] // H
+    Dq = wo_ref.shape[1]
+    bt, bq = q_ref.shape[0], q_ref.shape[1]
+    mask = mask_ref[:] > 0  # (bt, 1, Sk), broadcasts over queries
+    acc = jnp.zeros((bt, bq, Dq), jnp.float32)
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (bt, bq, Sk) f32
+        s = jnp.where(mask, s, -1e9)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (bt, bq, d)
+        o = o / jnp.maximum(l, 1e-30)
+        # fold the head's context straight into its out-proj slice: the
+        # (bt, bq, HD) ctx never exists, in VMEM or HBM
+        acc = acc + jax.lax.dot_general(
+            o.astype(cdt), wo_ref[sl, :], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _flash_mr_kernel(q_ref, k_ref, v_ref, mask_ref, x_ref, wo_ref, bo_ref,
+                     o_ref, *, H: int, scale: float, cdt):
+    acc = _attend_outproj_acc(q_ref, k_ref, v_ref, mask_ref, wo_ref,
+                              H=H, scale=scale, cdt=cdt)
+    out = x_ref[:].astype(jnp.float32) + acc + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _flash_prf_kernel(q_ref, k_ref, v_ref, mask_ref, x_ref, wo_ref, bo_ref,
+                      g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                      H: int, scale: float, cdt):
+    acc = _attend_outproj_acc(q_ref, k_ref, v_ref, mask_ref, wo_ref,
+                              H=H, scale=scale, cdt=cdt)
+    x2 = x_ref[:].astype(jnp.float32) + acc + bo_ref[:].astype(jnp.float32)
+    xn = _ln_rows(x2, g_ref[:].astype(jnp.float32),
+                  b_ref[:].astype(jnp.float32))
+    h = jax.lax.dot_general(
+        xn.astype(cdt), w1_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
+    f = jax.lax.dot_general(
+        h.astype(cdt), w2_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (x2 + f + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _flash_mrl_kernel(q_ref, k_ref, v_ref, mask_ref, x_ref, wo_ref, bo_ref,
+                      g_ref, b_ref, o_ref, *, H: int, scale: float, cdt):
+    acc = _attend_outproj_acc(q_ref, k_ref, v_ref, mask_ref, wo_ref,
+                              H=H, scale=scale, cdt=cdt)
+    x2 = x_ref[:].astype(jnp.float32) + acc + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = _ln_rows(x2, g_ref[:].astype(jnp.float32),
+                        b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _epi_pick_tiles(B, Sq_pad, Sk_pad, HD, Dq, Dff, q_item, x_item,
+                    weight_bytes, sq_align):
+    """Largest (bt, bq) whose double-buffered activation blocks + resident
+    weights + f32 scratch fit the VMEM budget. bt first (fewer programs),
+    then bq — same preference order as the flash kernel's _pick_tiles."""
+    for bt in (16, 8, 4, 2, 1):
+        if bt > max(B, 1):
+            continue
+        for bq in (Sq_pad, 512, 256, 128, 64, 32, 16, 8):
+            if bq > Sq_pad or bq % sq_align:
+                continue
+            need = (weight_bytes
+                    + 2 * bt * bq * HD * q_item          # q, dbl-buffered
+                    + 2 * 2 * bt * Sk_pad * HD * q_item  # k + v, dbl-buffered
+                    + 2 * 2 * bt * bq * Dq * x_item      # x + out, dbl-buf
+                    + bt * bq * Sk_pad * 4 * 2           # s + p f32, one head
+                    + bt * bq * Dq * 4                   # out-proj acc f32
+                    + bt * bq * (Dq + Dff) * 4)          # x2 + h f32 (prf)
+            if need <= _VMEM_BUDGET:
+                return bt, bq
+    return None
+
+
+def _flash_epi_call(kind, q, k, v, key_mask, x, weights, H: int, cdt):
+    """Shared pallas_call driver for the three monolithic kernels.
+    q/k/v: (B, Sq|Sk, HD) projections; key_mask: (B, Sk) int32 or None;
+    x: (B, Sq, Dq) residual stream; weights: flat tuple of 2D/1D params
+    (wo first — biases/LN params reshaped to (1, n) here). Returns
+    (B, Sq, Dq) in x's dtype, or None when no tile config fits VMEM
+    (caller falls back to the split composition)."""
+    pl = _pl()
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    Dq = x.shape[2]
+    d = HD // H
+    wo = weights[0]
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    # 2D weights sit resident in the compute dtype; 1D biases/LN params in f32
+    weight_bytes = sum(
+        int(np.prod(w.shape)) * (itemsize if w.ndim == 2 else 4)
+        for w in weights)
+    Dff = weights[4].shape[1] if kind == "prf" else 0
+    sq_align = 8 if q.dtype == jnp.float32 else 16
+    Sk_pad = _ceil_to(Sk, 128)
+    tiles = _epi_pick_tiles(B, _ceil_to(Sq, sq_align), Sk_pad, HD, Dq, Dff,
+                            q.dtype.itemsize, x.dtype.itemsize, weight_bytes,
+                            sq_align)
+    if tiles is None:
+        return None
+    bt, bq = tiles
+    Sq_pad = _ceil_to(Sq, bq)
+    Bp = _ceil_to(B, bt)
+    qp = jnp.pad(q, ((0, Bp - B), (0, Sq_pad - Sq), (0, 0)))
+    kp = jnp.pad(k, ((0, Bp - B), (0, Sk_pad - Sk), (0, 0)))
+    vp = jnp.pad(v, ((0, Bp - B), (0, Sk_pad - Sk), (0, 0)))
+    xp = jnp.pad(x, ((0, Bp - B), (0, Sq_pad - Sq), (0, 0)))
+    if key_mask is None:
+        key_mask = jnp.ones((B, Sk), jnp.int32)
+    maskp = jnp.pad(key_mask.astype(jnp.int32),
+                    ((0, Bp - B), (0, Sk_pad - Sk)))[:, None, :]
+
+    scale = 1.0 / float(np.sqrt(d))
+    kernels = {"mr": _flash_mr_kernel, "prf": _flash_prf_kernel,
+               "mrl": _flash_mrl_kernel}
+    kernel = functools.partial(kernels[kind], H=H, scale=scale, cdt=cdt)
+    # weights: 2D stay 2D (constant index), 1D become (1, n)
+    wargs, wspecs = [], []
+    for w in weights:
+        if w.ndim == 1:
+            wargs.append(w.reshape(1, -1).astype(jnp.float32))
+            wspecs.append(pl.BlockSpec((1, w.shape[0]), lambda b, i: (0, 0)))
+        else:
+            wargs.append(w.astype(cdt))
+            wspecs.append(pl.BlockSpec(w.shape, lambda b, i: (0, 0)))
+    grid = (Bp // bt, Sq_pad // bq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bq, HD), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((bt, Sk_pad, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bt, Sk_pad, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bt, 1, Sk_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bt, bq, Dq), lambda b, i: (b, i, 0)),
+        ] + wspecs,
+        out_specs=pl.BlockSpec((bt, bq, Dq), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sq_pad, Dq), x.dtype),
+        interpret=_interpret(),
+        **_compiler_params(2),
+    )(qp, kp, vp, maskp, xp, *wargs)
+    return out[:B, :Sq]
+
+
+def _heads(x, H):
+    B, S, HD = x.shape
+    return x.reshape(B, S, H, HD // H).transpose(0, 2, 1, 3)
+
+
+def _xla_ctx(q3, k3, v3, key_mask, H, cdt):
+    """XLA twin of the attention middle on un-headed projections, matching
+    ops/attention's fallback numerics: f32 scores/softmax, PV in f32."""
+    from bmhrl_tpu.ops.attention import _xla_attention_probs
+
+    B, Sq, _ = q3.shape
+    m4 = None if key_mask is None else (key_mask > 0)[:, None, None, :]
+    p = _xla_attention_probs(_heads(q3, H).astype(jnp.float32),
+                             _heads(k3, H).astype(jnp.float32), m4, False)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, _heads(v3, H).astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return o.transpose(0, 2, 1, 3).reshape(B, Sq, -1).astype(cdt)
+
+
+def _flash_mr_ref(q3, k3, v3, key_mask, x, wo, bo, H, cdt):
+    ctx = _xla_ctx(q3, k3, v3, key_mask, H, cdt)
+    B, Sq, Dq = x.shape
+    out = _matmul_residual_ref(ctx.reshape(B * Sq, -1), wo, bo,
+                               x.reshape(B * Sq, Dq), cdt)
+    return out.reshape(B, Sq, Dq)
+
+
+def _flash_prf_ref(q3, k3, v3, key_mask, x, wo, bo, g, b, w1, b1, w2, b2,
+                   H, cdt):
+    ctx = _xla_ctx(q3, k3, v3, key_mask, H, cdt)
+    B, Sq, Dq = x.shape
+    out = _proj_res_ffn_ref(ctx.reshape(B * Sq, -1), wo, bo,
+                            x.reshape(B * Sq, Dq), g, b, w1, b1, w2, b2, cdt)
+    return out.reshape(B, Sq, Dq)
+
+
+def _flash_mrl_ref(q3, k3, v3, key_mask, x, wo, bo, g, b, H, cdt):
+    ctx = _xla_ctx(q3, k3, v3, key_mask, H, cdt)
+    B, Sq, Dq = x.shape
+    out = _matmul_residual_ln_ref(ctx.reshape(B * Sq, -1), wo, bo,
+                                  x.reshape(B * Sq, Dq), g, b, cdt)
+    return out.reshape(B, Sq, Dq)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def flash_mr(q3, k3, v3, key_mask, x, wo, bo, H, cdt=jnp.bfloat16):
+    """Monolithic flash attention + out-proj + residual:
+    out = x + attend(q3, k3, v3) @ Wo + bo, context never materialized.
+    q3/k3/v3: (B, S, H*d_k); key_mask: (B, Sk) or None; x: (B, Sq, Dq)."""
+    out = _flash_epi_call("mr", q3, k3, v3, key_mask, x, (wo, bo), H, cdt)
+    if out is None:
+        return _flash_mr_ref(q3, k3, v3, key_mask, x, wo, bo, H, cdt)
+    return out
+
+
+def _flash_mr_fwd(q3, k3, v3, key_mask, x, wo, bo, H, cdt):
+    return (flash_mr(q3, k3, v3, key_mask, x, wo, bo, H, cdt),
+            (q3, k3, v3, key_mask, x, wo, bo))
+
+
+def _flash_mr_bwd(H, cdt, res, ct):
+    q3, k3, v3, key_mask, x, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, xx, w, bb: _flash_mr_ref(q, k, v, key_mask, xx, w,
+                                                 bb, H, cdt),
+        q3, k3, v3, x, wo, bo)
+    dq, dk, dv, dx, dwo, dbo = vjp(ct)
+    return dq, dk, dv, None, dx, dwo, dbo
+
+
+flash_mr.defvjp(_flash_mr_fwd, _flash_mr_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def flash_prf(q3, k3, v3, key_mask, x, wo, bo, g, b, w1, b1, w2, b2, H,
+              cdt=jnp.bfloat16):
+    """Monolithic flash attention + cross-attention epilogue + prenorm FFN:
+    x2 = x + attend(q3,k3,v3) @ Wo + bo;
+    out = x2 + relu(LN(x2) @ W1 + b1) @ W2 + b2 — one kernel, the context
+    and the Dff intermediate never touch HBM."""
+    out = _flash_epi_call("prf", q3, k3, v3, key_mask, x,
+                          (wo, bo, g, b, w1, b1, w2, b2), H, cdt)
+    if out is None:
+        return _flash_prf_ref(q3, k3, v3, key_mask, x, wo, bo, g, b,
+                              w1, b1, w2, b2, H, cdt)
+    return out
+
+
+def _flash_prf_fwd(q3, k3, v3, key_mask, x, wo, bo, g, b, w1, b1, w2, b2,
+                   H, cdt):
+    out = flash_prf(q3, k3, v3, key_mask, x, wo, bo, g, b, w1, b1, w2, b2,
+                    H, cdt)
+    return out, (q3, k3, v3, key_mask, x, wo, bo, g, b, w1, b1, w2, b2)
+
+
+def _flash_prf_bwd(H, cdt, res, ct):
+    q3, k3, v3, key_mask, x, wo, bo, g, b, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, *rest: _flash_prf_ref(q, k, v, key_mask, *rest,
+                                              H, cdt),
+        q3, k3, v3, x, wo, bo, g, b, w1, b1, w2, b2)
+    grads = vjp(ct)
+    return grads[:3] + (None,) + grads[3:]
+
+
+flash_prf.defvjp(_flash_prf_fwd, _flash_prf_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def flash_mrl(q3, k3, v3, key_mask, x, wo, bo, g, b, H, cdt=jnp.bfloat16):
+    """Monolithic flash attention + post-norm epilogue (DETR encoder):
+    out = LN(x + attend(q3,k3,v3) @ Wo + bo)."""
+    out = _flash_epi_call("mrl", q3, k3, v3, key_mask, x, (wo, bo, g, b),
+                          H, cdt)
+    if out is None:
+        return _flash_mrl_ref(q3, k3, v3, key_mask, x, wo, bo, g, b, H, cdt)
+    return out
+
+
+def _flash_mrl_fwd(q3, k3, v3, key_mask, x, wo, bo, g, b, H, cdt):
+    return (flash_mrl(q3, k3, v3, key_mask, x, wo, bo, g, b, H, cdt),
+            (q3, k3, v3, key_mask, x, wo, bo, g, b))
+
+
+def _flash_mrl_bwd(H, cdt, res, ct):
+    q3, k3, v3, key_mask, x, wo, bo, g, b = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, *rest: _flash_mrl_ref(q, k, v, key_mask, *rest,
+                                              H, cdt),
+        q3, k3, v3, x, wo, bo, g, b)
+    grads = vjp(ct)
+    return grads[:3] + (None,) + grads[3:]
+
+
+flash_mrl.defvjp(_flash_mrl_fwd, _flash_mrl_bwd)
+
+
+def _flash_epi_qualifies(att, Sq: int, Sk: int, Dq: int, *ffn_dims) -> bool:
+    """Gate for the monolithic kernels: the attention middle must qualify
+    for flash (enabled + key floor + lane-aligned d_k) and every epilogue
+    dim must tile the lane width. The `flash_epi` op name participates in
+    the BMHRL_FUSED_OPS kill-switch for A/B bisects."""
+    from bmhrl_tpu.ops import attention as fatt
+
+    return (fatt.flash_qualifies(Sq, Sk, att._d_k) and _op_on("flash_epi")
+            and Dq % 128 == 0 and all(dm % 128 == 0 for dm in ffn_dims))
+
+
 def fused_self_attention(att, res, x, mask, dtype):
     """res(x, self-attention(LN(x))): merged-QKV as ONE (D, 3D) GEMM (XLA —
     the on-chip per-op A/B measured the Pallas ln_matmul at 0.53-0.92x of
@@ -610,8 +947,12 @@ def fused_self_attention(att, res, x, mask, dtype):
     g, be = _ln_params(res)
     qkv = _ln_matmul_xla(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
     q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
-    ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     po = att.linear_d2Q.variables["params"]
+    if _flash_epi_qualifies(att, S, S, Dm):
+        key_mask = None if mask is None else mask[:, 0, :].astype(jnp.int32)
+        return flash_mr(q3, k3, v3, key_mask, x, po["kernel"], po["bias"],
+                        att.H, dtype)
+    ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     mr = matmul_residual if _op_on("matmul_residual") else \
         (lambda y, w, bias, xx, cdt: _matmul_residual_ref(y, w, bias, xx, cdt))
     out = mr(ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
@@ -654,6 +995,17 @@ def fused_cross_ffn(att, res_att, ff, res_ff, xq, xkv, mask_kv, dtype):
     bkv = jnp.concatenate([pk["bias"], pv["bias"]]).astype(dtype)
     kv = xkv.astype(dtype) @ wkv + bkv
     k3, v3 = jnp.split(kv, 2, axis=-1)
+    Sk = xkv.shape[1]
+    p1 = ff.fc1.variables["params"]
+    if _flash_epi_qualifies(att, Sq, Sk, Dq, p1["kernel"].shape[1]):
+        po = att.linear_d2Q.variables["params"]
+        gf, bf = _ln_params(res_ff)
+        p2 = ff.fc2.variables["params"]
+        key_mask = (None if mask_kv is None
+                    else mask_kv[:, 0, :].astype(jnp.int32))
+        return flash_prf(q3, k3, v3, key_mask, xq, po["kernel"], po["bias"],
+                         gf, bf, p1["kernel"], p1["bias"], p2["kernel"],
+                         p2["bias"], att.H, dtype)
     ctx3 = attend_bsd(att, q3, k3, v3, mask_kv, dtype)
     return _attention_epilogue_ffn(att, ff, res_ff, ctx3, xq, dtype)
 
@@ -672,14 +1024,20 @@ def fused_postnorm_layer(att, norm1, lin1, lin2, norm2, src, q, mask, dtype):
     qk = q.astype(dtype) @ wqk + bqk
     q3, k3 = jnp.split(qk, 2, axis=-1)
     v3 = att.linear_V2d(src.astype(dtype))
-    ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     po = att.linear_d2Q.variables["params"]
     n1 = norm1.variables["params"]
-    mrl = matmul_residual_ln if _op_on("matmul_residual_ln") else \
-        (lambda *a: _matmul_residual_ln_ref(*a))
-    x1 = mrl(
-        ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
-        src.reshape(B * S, D), n1["scale"], n1["bias"], dtype)
+    if _flash_epi_qualifies(att, S, S, D):
+        key_mask = None if mask is None else mask[:, 0, :].astype(jnp.int32)
+        x1 = flash_mrl(q3, k3, v3, key_mask, src, po["kernel"], po["bias"],
+                       n1["scale"], n1["bias"], att.H, dtype)
+        x1 = x1.reshape(B * S, D)
+    else:
+        ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
+        mrl = matmul_residual_ln if _op_on("matmul_residual_ln") else \
+            (lambda *a: _matmul_residual_ln_ref(*a))
+        x1 = mrl(
+            ctx3.reshape(B * S, -1), po["kernel"], po["bias"],
+            src.reshape(B * S, D), n1["scale"], n1["bias"], dtype)
     p1 = lin1.variables["params"]
     p2 = lin2.variables["params"]
     n2 = norm2.variables["params"]
@@ -700,5 +1058,14 @@ def fused_self_ffn(att, res_att, ff, res_ff, x, mask, dtype):
     # fused_self_attention)
     qkv = _ln_matmul_xla(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
     q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
+    p1 = ff.fc1.variables["params"]
+    if _flash_epi_qualifies(att, S, S, Dm, p1["kernel"].shape[1]):
+        po = att.linear_d2Q.variables["params"]
+        gf, bf = _ln_params(res_ff)
+        p2 = ff.fc2.variables["params"]
+        key_mask = None if mask is None else mask[:, 0, :].astype(jnp.int32)
+        return flash_prf(q3, k3, v3, key_mask, x, po["kernel"], po["bias"],
+                         gf, bf, p1["kernel"], p1["bias"], p2["kernel"],
+                         p2["bias"], att.H, dtype)
     ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     return _attention_epilogue_ffn(att, ff, res_ff, ctx3, x, dtype)

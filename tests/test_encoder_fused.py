@@ -173,6 +173,144 @@ def test_qualify_gate():
     assert not enc.encoder_fusion_qualifies(1024, 128, 1024)
 
 
+# ----------------------------------------------- monolithic flash+epilogue
+
+
+@pytest.fixture
+def flash_on():
+    from bmhrl_tpu.ops import attention as fatt
+
+    fatt.enable_flash(True)
+    yield
+    fatt.enable_flash(False)
+
+
+def _epi_inputs(Dq=256, Dff=384, H=2, d=128, B=2, Sq=20, Sk=130):
+    rng = np.random.RandomState(20)
+    HD = H * d
+    q3 = _rand(rng, B, Sq, HD) * 0.3
+    k3 = _rand(rng, B, Sk, HD) * 0.3
+    v3 = _rand(rng, B, Sk, HD) * 0.3
+    km = jnp.ones((B, Sk), jnp.int32).at[1, 100:].set(0)
+    x = _rand(rng, B, Sq, Dq)
+    wo = _rand(rng, HD, Dq) * 0.05
+    bo = _rand(rng, Dq) * 0.1
+    g = _rand(rng, Dq) * 0.1 + 1.0
+    b = _rand(rng, Dq) * 0.1
+    w1 = _rand(rng, Dq, Dff) * 0.05
+    b1 = _rand(rng, Dff) * 0.1
+    w2 = _rand(rng, Dff, Dq) * 0.05
+    b2 = _rand(rng, Dq) * 0.1
+    return q3, k3, v3, km, x, (wo, bo, g, b, w1, b1, w2, b2), H
+
+
+def test_flash_mr_matches_ref(flash_on):
+    q3, k3, v3, km, x, (wo, bo, *_), H = _epi_inputs()
+    got = np.asarray(enc.flash_mr(q3, k3, v3, km, x, wo, bo, H, jnp.float32))
+    want = np.asarray(enc._flash_mr_ref(q3, k3, v3, km, x, wo, bo, H,
+                                        jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_flash_prf_matches_ref(flash_on):
+    q3, k3, v3, km, x, w, H = _epi_inputs()
+    got = np.asarray(enc.flash_prf(q3, k3, v3, km, x, *w, H, jnp.float32))
+    want = np.asarray(enc._flash_prf_ref(q3, k3, v3, km, x, *w, H,
+                                         jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-3,
+                               atol=5e-3 * np.abs(want).max())
+
+
+def test_flash_mrl_matches_ref(flash_on):
+    q3, k3, v3, km, x, (wo, bo, g, b, *_), H = _epi_inputs()
+    got = np.asarray(enc.flash_mrl(q3, k3, v3, km, x, wo, bo, g, b, H,
+                                   jnp.float32))
+    want = np.asarray(enc._flash_mrl_ref(q3, k3, v3, km, x, wo, bo, g, b, H,
+                                         jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_epi_none_mask(flash_on):
+    """key_mask=None means attend everywhere (incl. the Sk pad handling)."""
+    q3, k3, v3, _, x, (wo, bo, *_), H = _epi_inputs()
+    got = np.asarray(enc.flash_mr(q3, k3, v3, None, x, wo, bo, H,
+                                  jnp.float32))
+    want = np.asarray(enc._flash_mr_ref(q3, k3, v3, None, x, wo, bo, H,
+                                        jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_flash_prf_production_dims_bf16(flash_on):
+    """Flagship serving dims (video cross+FFN site: HD=1024, Dq=1024,
+    Dff=1024) in bf16 — exercises the exact tile branch the headline shape
+    hits, with resident weights near the VMEM budget."""
+    q3, k3, v3, km, x, w, H = _epi_inputs(Dq=1024, Dff=1024, H=4, d=256,
+                                          B=2, Sq=24, Sk=256)
+    got = np.asarray(enc.flash_prf(q3, k3, v3, km, x, *w, H, jnp.bfloat16),
+                     np.float32)
+    want = np.asarray(enc._flash_prf_ref(q3, k3, v3, km, x, *w, H,
+                                         jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.04 * np.abs(want).max())
+
+
+def test_flash_epi_grads_match_ref(flash_on):
+    q3, k3, v3, km, x, w, H = _epi_inputs(Sq=8, Sk=128)
+
+    def loss_fused(q3, x, wo):
+        return jnp.sum(enc.flash_prf(q3, k3, v3, km, x, wo, *w[1:], H,
+                                     jnp.float32) ** 2)
+
+    def loss_ref(q3, x, wo):
+        return jnp.sum(enc._flash_prf_ref(q3, k3, v3, km, x, wo, *w[1:], H,
+                                          jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q3, x, w[0])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, x, w[0])
+    for a, c in zip(gf, gr):
+        scale = max(np.abs(np.asarray(c)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-3 * scale)
+
+
+def test_flash_epi_vmem_fallback(monkeypatch, flash_on):
+    """When no tile fits, the monolithic ops fall back to the XLA twin."""
+    q3, k3, v3, km, x, (wo, bo, *_), H = _epi_inputs()
+    want = np.asarray(enc.flash_mr(q3, k3, v3, km, x, wo, bo, H,
+                                   jnp.float32))
+    monkeypatch.setattr(enc, "_VMEM_BUDGET", 1)
+    assert enc._flash_epi_call("mr", q3, k3, v3, km, x, (wo, bo), H,
+                               jnp.float32) is None
+    got = np.asarray(enc.flash_mr(q3, k3, v3, km, x, wo, bo, H, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+def test_encoder_layer_monolithic_path_matches_plain(flash_on):
+    """Layer-level: BOTH source lengths >= MIN_SK so every attention site
+    routes through the monolithic kernels (self -> flash_mr, cross+FFN ->
+    flash_prf); must match the plain composition with everything off."""
+    from bmhrl_tpu.ops import attention as fatt
+
+    layer = _layer(jnp.float32)
+    rng = np.random.RandomState(21)
+    B, Sv, Sa = 2, 136, 140
+    x = (_rand(rng, B, Sv, 256), _rand(rng, B, Sa, 128))
+    masks = (jnp.ones((B, 1, Sv), bool).at[0, :, 130:].set(False),
+             jnp.ones((B, 1, Sa), bool).at[1, :, 120:].set(False))
+    params = layer.init(jax.random.PRNGKey(0), x, masks)
+    enc.enable_encoder_fusion(False)
+    fatt.enable_flash(False)
+    plain = layer.apply(params, x, masks, True)
+    enc.enable_encoder_fusion(True)
+    fatt.enable_flash(True)
+    assert fatt.flash_qualifies(Sv, Sv, 128)
+    assert enc._flash_epi_qualifies(
+        layer.bind(params).self_att_M1, Sv, Sv, 256)
+    fused = layer.apply(params, x, masks, True)
+    for a, b in zip(plain, fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
 # ----------------------------------------------------------- encoder layer
 
 
