@@ -717,6 +717,27 @@ def _epi_pick_tiles(B, Sq_pad, Sk_pad, HD, Dq, Dff, q_item, x_item,
     return None
 
 
+def _epi_tiles(kind, B, Sq, Sk, HD, Dq, weights, q_dtype, x_dtype, cdt):
+    """Tile config for a monolithic kernel launch, or None when no (bt, bq)
+    fits VMEM with the weights resident (e.g. the prf kernel at Sa=800:
+    full-Sk K/V blocks plus ~6 MB of FFN weights overflow the budget).
+    Shared by _flash_epi_call and the glue's qualify gate so the glue can
+    route non-fitting sites to the SPLIT flash + epilogue-op composition —
+    the measured-faster path — instead of reaching the custom_vjp wrappers'
+    pure-XLA safety fallback."""
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    # 2D weights sit resident in the compute dtype; 1D biases/LN params in f32
+    weight_bytes = sum(
+        int(np.prod(w.shape)) * (itemsize if w.ndim == 2 else 4)
+        for w in weights)
+    Dff = weights[4].shape[1] if kind == "prf" else 0
+    sq_align = 8 if jnp.dtype(q_dtype) == jnp.float32 else 16
+    return _epi_pick_tiles(B, _ceil_to(Sq, sq_align), _ceil_to(Sk, 128),
+                           HD, Dq, Dff, jnp.dtype(q_dtype).itemsize,
+                           jnp.dtype(x_dtype).itemsize, weight_bytes,
+                           sq_align)
+
+
 def _flash_epi_call(kind, q, k, v, key_mask, x, weights, H: int, cdt):
     """Shared pallas_call driver for the three monolithic kernels.
     q/k/v: (B, Sq|Sk, HD) projections; key_mask: (B, Sk) int32 or None;
@@ -729,18 +750,9 @@ def _flash_epi_call(kind, q, k, v, key_mask, x, weights, H: int, cdt):
     Sk = k.shape[1]
     Dq = x.shape[2]
     d = HD // H
-    wo = weights[0]
-    itemsize = 2 if cdt == jnp.bfloat16 else 4
-    # 2D weights sit resident in the compute dtype; 1D biases/LN params in f32
-    weight_bytes = sum(
-        int(np.prod(w.shape)) * (itemsize if w.ndim == 2 else 4)
-        for w in weights)
-    Dff = weights[4].shape[1] if kind == "prf" else 0
-    sq_align = 8 if q.dtype == jnp.float32 else 16
     Sk_pad = _ceil_to(Sk, 128)
-    tiles = _epi_pick_tiles(B, _ceil_to(Sq, sq_align), Sk_pad, HD, Dq, Dff,
-                            q.dtype.itemsize, x.dtype.itemsize, weight_bytes,
-                            sq_align)
+    tiles = _epi_tiles(kind, B, Sq, Sk, HD, Dq, weights, q.dtype, x.dtype,
+                       cdt)
     if tiles is None:
         return None
     bt, bq = tiles
@@ -924,15 +936,25 @@ def _flash_mrl_bwd(H, cdt, res, ct):
 flash_mrl.defvjp(_flash_mrl_fwd, _flash_mrl_bwd)
 
 
-def _flash_epi_qualifies(att, Sq: int, Sk: int, Dq: int, *ffn_dims) -> bool:
+def _flash_epi_qualifies(att, kind, B, Sq, Sk, x, q_dtype, cdt,
+                         weights) -> bool:
     """Gate for the monolithic kernels: the attention middle must qualify
-    for flash (enabled + key floor + lane-aligned d_k) and every epilogue
-    dim must tile the lane width. The `flash_epi` op name participates in
-    the BMHRL_FUSED_OPS kill-switch for A/B bisects."""
+    for flash (enabled + key floor + lane-aligned d_k), every resident
+    weight's output dim must tile the lane width, and a (bt, bq) config
+    must FIT VMEM with the weights resident (_epi_tiles) — otherwise the
+    glue keeps the split flash + epilogue-op composition, which the on-chip
+    A/B measured faster than the XLA twin at every overflow-prone shape
+    (Sv=300/Sa=800). The `flash_epi` op name participates in the
+    BMHRL_FUSED_OPS kill-switch for A/B bisects."""
     from bmhrl_tpu.ops import attention as fatt
 
-    return (fatt.flash_qualifies(Sq, Sk, att._d_k) and _op_on("flash_epi")
-            and Dq % 128 == 0 and all(dm % 128 == 0 for dm in ffn_dims))
+    Dq = x.shape[2]
+    dims = [w.shape[1] for w in weights if w.ndim == 2]
+    if not (fatt.flash_qualifies(Sq, Sk, att._d_k) and _op_on("flash_epi")
+            and Dq % 128 == 0 and all(dm % 128 == 0 for dm in dims)):
+        return False
+    return _epi_tiles(kind, B, Sq, Sk, att.H * att._d_k, Dq, weights,
+                      q_dtype, x.dtype, cdt) is not None
 
 
 def fused_self_attention(att, res, x, mask, dtype):
@@ -948,7 +970,8 @@ def fused_self_attention(att, res, x, mask, dtype):
     qkv = _ln_matmul_xla(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
     q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
     po = att.linear_d2Q.variables["params"]
-    if _flash_epi_qualifies(att, S, S, Dm):
+    if _flash_epi_qualifies(att, "mr", B, S, S, x, q3.dtype, dtype,
+                            (po["kernel"], po["bias"])):
         key_mask = None if mask is None else mask[:, 0, :].astype(jnp.int32)
         return flash_mr(q3, k3, v3, key_mask, x, po["kernel"], po["bias"],
                         att.H, dtype)
@@ -997,15 +1020,15 @@ def fused_cross_ffn(att, res_att, ff, res_ff, xq, xkv, mask_kv, dtype):
     k3, v3 = jnp.split(kv, 2, axis=-1)
     Sk = xkv.shape[1]
     p1 = ff.fc1.variables["params"]
-    if _flash_epi_qualifies(att, Sq, Sk, Dq, p1["kernel"].shape[1]):
-        po = att.linear_d2Q.variables["params"]
-        gf, bf = _ln_params(res_ff)
-        p2 = ff.fc2.variables["params"]
+    po = att.linear_d2Q.variables["params"]
+    gf, bf = _ln_params(res_ff)
+    p2 = ff.fc2.variables["params"]
+    wts = (po["kernel"], po["bias"], gf, bf, p1["kernel"], p1["bias"],
+           p2["kernel"], p2["bias"])
+    if _flash_epi_qualifies(att, "prf", B, Sq, Sk, xq, q3.dtype, dtype, wts):
         key_mask = (None if mask_kv is None
                     else mask_kv[:, 0, :].astype(jnp.int32))
-        return flash_prf(q3, k3, v3, key_mask, xq, po["kernel"], po["bias"],
-                         gf, bf, p1["kernel"], p1["bias"], p2["kernel"],
-                         p2["bias"], att.H, dtype)
+        return flash_prf(q3, k3, v3, key_mask, xq, *wts, att.H, dtype)
     ctx3 = attend_bsd(att, q3, k3, v3, mask_kv, dtype)
     return _attention_epilogue_ffn(att, ff, res_ff, ctx3, xq, dtype)
 
@@ -1026,7 +1049,9 @@ def fused_postnorm_layer(att, norm1, lin1, lin2, norm2, src, q, mask, dtype):
     v3 = att.linear_V2d(src.astype(dtype))
     po = att.linear_d2Q.variables["params"]
     n1 = norm1.variables["params"]
-    if _flash_epi_qualifies(att, S, S, D):
+    if _flash_epi_qualifies(att, "mrl", B, S, S, src, q3.dtype, dtype,
+                            (po["kernel"], po["bias"], n1["scale"],
+                             n1["bias"])):
         key_mask = None if mask is None else mask[:, 0, :].astype(jnp.int32)
         x1 = flash_mrl(q3, k3, v3, key_mask, src, po["kernel"], po["bias"],
                        n1["scale"], n1["bias"], att.H, dtype)
@@ -1059,13 +1084,13 @@ def fused_self_ffn(att, res_att, ff, res_ff, x, mask, dtype):
     qkv = _ln_matmul_xla(x.reshape(B * S, Dm), g, be, w, b, False, dtype)
     q3, k3, v3 = jnp.split(qkv.reshape(B, S, -1), 3, axis=-1)
     p1 = ff.fc1.variables["params"]
-    if _flash_epi_qualifies(att, S, S, Dm, p1["kernel"].shape[1]):
-        po = att.linear_d2Q.variables["params"]
-        gf, bf = _ln_params(res_ff)
-        p2 = ff.fc2.variables["params"]
+    po = att.linear_d2Q.variables["params"]
+    gf, bf = _ln_params(res_ff)
+    p2 = ff.fc2.variables["params"]
+    wts = (po["kernel"], po["bias"], gf, bf, p1["kernel"], p1["bias"],
+           p2["kernel"], p2["bias"])
+    if _flash_epi_qualifies(att, "prf", B, S, S, x, q3.dtype, dtype, wts):
         key_mask = None if mask is None else mask[:, 0, :].astype(jnp.int32)
-        return flash_prf(q3, k3, v3, key_mask, x, po["kernel"], po["bias"],
-                         gf, bf, p1["kernel"], p1["bias"], p2["kernel"],
-                         p2["bias"], att.H, dtype)
+        return flash_prf(q3, k3, v3, key_mask, x, *wts, att.H, dtype)
     ctx3 = attend_bsd(att, q3, k3, v3, mask, dtype)
     return _attention_epilogue_ffn(att, ff, res_ff, ctx3, x, dtype)

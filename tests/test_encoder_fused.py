@@ -284,6 +284,21 @@ def test_flash_epi_vmem_fallback(monkeypatch, flash_on):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
 
 
+def test_flash_epi_overflow_fails_qualify_gate():
+    """At production prf dims with Sa=800 keys, full-Sk K/V blocks plus the
+    ~6 MB of resident FFN weights overflow VMEM — _epi_tiles must say so, so
+    the glue keeps the split flash + epilogue-op composition (the measured
+    winner at Sv=300/Sa=800) instead of the wrappers' pure-XLA fallback."""
+    D = 1024
+    wts = (np.zeros((D, D)), np.zeros(D), np.zeros(D), np.zeros(D),
+           np.zeros((D, D)), np.zeros(D), np.zeros((D, D)), np.zeros(D))
+    assert enc._epi_tiles("prf", 256, 300, 800, D, D, wts,
+                          jnp.bfloat16, jnp.float32, jnp.bfloat16) is None
+    # ... while the headline shape (Sk=256) fits with room to spare
+    assert enc._epi_tiles("prf", 1024, 128, 256, D, D, wts,
+                          jnp.bfloat16, jnp.float32, jnp.bfloat16) is not None
+
+
 def test_encoder_layer_monolithic_path_matches_plain(flash_on):
     """Layer-level: BOTH source lengths >= MIN_SK so every attention site
     routes through the monolithic kernels (self -> flash_mr, cross+FFN ->
@@ -303,8 +318,11 @@ def test_encoder_layer_monolithic_path_matches_plain(flash_on):
     enc.enable_encoder_fusion(True)
     fatt.enable_flash(True)
     assert fatt.flash_qualifies(Sv, Sv, 128)
+    att = layer.bind(params).self_att_M1
+    po = att.linear_d2Q.variables["params"]
     assert enc._flash_epi_qualifies(
-        layer.bind(params).self_att_M1, Sv, Sv, 256)
+        att, "mr", B, Sv, Sv, x[0], jnp.float32, jnp.float32,
+        (po["kernel"], po["bias"]))
     fused = layer.apply(params, x, masks, True)
     for a, b in zip(plain, fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
