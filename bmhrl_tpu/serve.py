@@ -1,0 +1,290 @@
+"""Offline batch-captioning serving engine.
+
+The reference's only inference surface is the validation loop
+(ref: epoch_loops/validation_loops.py:13-117): dataset-order batches, a full
+model re-forward per generated token, no length grouping — fine for eval,
+not a serving path. This engine is the production counterpart:
+
+- **Length-aware scheduling.** Each request's post-crop feature lengths are
+  computed from the ``.npy`` headers alone (``np.load(mmap_mode="r")`` reads
+  the shape without the data, plus the proportional-crop arithmetic of
+  data/features.crop_a_segment, ref: load_features.py:14-34). Requests are
+  grouped by (video-bucket, audio-bucket) so short clips never pay
+  dataset-max padding, and the compile count is bounded by the bucket grid
+  (default 5x5) times the distinct batch shapes.
+- **Static shapes.** Every batch is padded to (batch_size, vb, ab); the tail
+  of each bucket group is row-padded and masked out via ``n_valid``, so the
+  jitted decode compiles once per bucket pair and never retraces.
+- **Overlapped IO.** Feature loading runs in a thread pool; a background
+  prefetcher dispatches async host->device transfers so the copy of batch
+  t+1 overlaps the decode of batch t (data/dataset.Prefetcher).
+- **KV-cached decode.** train/decode.decode — encoder once per clip, O(1)
+  positions per token (token-exact with the full-buffer path, tested).
+- **Data-parallel mesh.** Pass ``mesh_shape=(n, 1)`` to shard request
+  batches across chips; params are replicated, batches land pre-sharded.
+
+Results come back in the ANet submission format the reference emits
+(ref: validation_loops.py:87-117), so downstream eval tooling is shared.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from bmhrl_tpu.config import Config
+from bmhrl_tpu.data import features as F
+from bmhrl_tpu.data.dataset import Prefetcher
+from bmhrl_tpu.data.vocab import BOS, EOS, PAD
+
+
+@dataclass
+class ClipRequest:
+    """One segment to caption: feature files + the event time span."""
+
+    video_id: str
+    start: float
+    end: float
+    duration: float
+    # per-request feature-dir overrides (mirrors MetaRow's)
+    video_dir: Optional[str] = None
+    audio_dir: Optional[str] = None
+
+
+@dataclass
+class ServeStats:
+    clips: int = 0
+    batches: int = 0
+    compiles: int = 0  # distinct (B, vb, ab) shapes seen
+    wall_s: float = 0.0
+    decode_s: float = 0.0
+    batch_latency_s: List[float] = field(default_factory=list)
+    padded_rows: int = 0
+    padded_frac: float = 0.0
+
+    def summary(self) -> Dict:
+        lat = sorted(self.batch_latency_s)
+        p = (lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+             if lat else 0.0)
+        return {
+            "clips": self.clips,
+            "batches": self.batches,
+            "distinct_shapes": self.compiles,
+            "wall_s": round(self.wall_s, 3),
+            "clips_per_sec": round(self.clips / self.wall_s, 2)
+            if self.wall_s else 0.0,
+            "batch_latency_p50_s": round(p(0.50), 4),
+            "batch_latency_p95_s": round(p(0.95), 4),
+            "padded_row_frac": round(self.padded_frac, 4),
+        }
+
+
+def read_proposals_json(path: str) -> List[ClipRequest]:
+    """ANet-format proposals: {vid: {duration, timestamps: [[s, e], ...]}}
+    — the same schema as the reference's val JSONs (data/*_no_missings.json)
+    and learned-proposal submissions."""
+    with open(path) as f:
+        data = json.load(f)
+    if "results" in data:  # submission-style wrapper
+        data = {
+            vid: {
+                "duration": max(seg["timestamp"][1] for seg in segs),
+                "timestamps": [seg["timestamp"] for seg in segs],
+            }
+            for vid, segs in data["results"].items()
+        }
+    reqs = []
+    for vid, meta in data.items():
+        dur = float(meta["duration"])
+        for s, e in meta["timestamps"]:
+            reqs.append(ClipRequest(vid, float(s), float(e), dur))
+    return reqs
+
+
+def read_meta_tsv(path: str) -> List[ClipRequest]:
+    """Reference meta-TSV rows (caption column ignored if present).
+    Schema: video_id  caption  start  end  duration  ... (ref: data/*.csv)."""
+    import csv
+
+    reqs = []
+    with open(path, newline="", encoding="utf-8") as f:
+        for r in csv.DictReader(f, delimiter="\t"):
+            reqs.append(ClipRequest(r["video_id"], float(r["start"]),
+                                    float(r["end"]), float(r["duration"])))
+    return reqs
+
+
+def _npy_rows(path: str) -> Optional[int]:
+    """Row count from the .npy header only (no data read)."""
+    try:
+        return int(np.load(path, mmap_mode="r").shape[0])
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _cropped_len(total: Optional[int], start: float, end: float,
+                 duration: float) -> int:
+    """Post-crop length from the header row count — the exact arithmetic of
+    crop_a_segment (missing file => the 1-row zero fill)."""
+    if total is None or total == 0 or duration <= 0:
+        return 1
+    s = int(total * (start / duration))
+    e = int(total * (end / duration))
+    if s == e:
+        if s == total:
+            s -= 1
+        else:
+            e += 1
+    return max(e - s, 1)
+
+
+def plan_batches(
+    reqs: Sequence[ClipRequest],
+    cfg: Config,
+    batch_size: int,
+) -> List[Tuple[List[int], int, int]]:
+    """Group request indices into (idxs, video_bucket, audio_bucket) batches.
+
+    Requests are bucketed by their post-crop lengths (probed from npy
+    headers), so a 14-frame clip shares a (32, 64) compile with its peers
+    instead of riding a dataset-max (300, 800) batch. Within a bucket pair,
+    order is preserved; the tail batch is row-padded by the caller."""
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, r in enumerate(reqs):
+        vdir = r.video_dir or cfg.video_features_path
+        adir = r.audio_dir or cfg.audio_features_path
+        vlen = _cropped_len(
+            _npy_rows(os.path.join(vdir, f"{r.video_id}_rgb.npy")),
+            r.start, r.end, r.duration)
+        alen = _cropped_len(
+            _npy_rows(os.path.join(adir, f"{r.video_id}.npy")),
+            r.start, r.end, r.duration)
+        vb = F.pick_bucket(min(vlen, cfg.pad_video_feats_up_to),
+                           cfg.video_buckets)
+        ab = F.pick_bucket(min(alen, cfg.pad_audio_feats_up_to),
+                           cfg.audio_buckets)
+        buckets.setdefault((vb, ab), []).append(i)
+    plan = []
+    for (vb, ab) in sorted(buckets):
+        idxs = buckets[(vb, ab)]
+        for s in range(0, len(idxs), batch_size):
+            plan.append((idxs[s: s + batch_size], vb, ab))
+    return plan
+
+
+def _load_batch(reqs: Sequence[ClipRequest], idxs: List[int], vb: int,
+                ab: int, cfg: Config, pad_to: int,
+                pool: ThreadPoolExecutor) -> Dict:
+    def load(i):
+        r = reqs[i]
+        return F.load_features_from_npy(
+            r.video_dir or cfg.video_features_path,
+            r.audio_dir or cfg.audio_features_path,
+            r.video_id, r.start, r.end, r.duration,
+            d_vid=cfg.d_vid, d_aud=cfg.d_aud)
+
+    feats = list(pool.map(load, idxs))
+    n_valid = len(idxs)
+    while len(feats) < pad_to:  # row-pad the tail batch (masked via n_valid)
+        feats.append({k: np.zeros((1, v.shape[1]), np.float32)
+                      for k, v in feats[0].items()})
+    batch = {
+        "rgb": F.pad_stack([f["rgb"] for f in feats], vb),
+        "flow": F.pad_stack([f["flow"] for f in feats], vb),
+        "audio": F.pad_stack([f["audio"] for f in feats], ab),
+        "n_valid": n_valid,
+        "idxs": idxs,
+    }
+    return batch
+
+
+class CaptionServer:
+    """Builds the model once, then captions request lists at will.
+
+    ``params`` must be the model's variable collection ({"params": ...});
+    use utils/checkpoint.load_checkpoint or import_torch_* to obtain it.
+    """
+
+    def __init__(self, cfg: Config, model, params, itos: List[str],
+                 mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.itos = itos
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None and np.prod(mesh.devices.shape) > 1:
+            from bmhrl_tpu.parallel import mesh as mesh_lib
+
+            params = mesh_lib.replicate_tree(mesh, params)
+            self._sharding = mesh_lib.batch_sharding(mesh)
+        self.params = params
+
+    def _mesh_pad(self, b: int) -> int:
+        if self.mesh is None:
+            return b
+        n = int(self.mesh.devices.shape[0])
+        return ((b + n - 1) // n) * n
+
+    def caption(self, reqs: Sequence[ClipRequest],
+                batch_size: Optional[int] = None,
+                io_threads: int = 8,
+                prefetch: int = 2) -> Tuple[Dict, ServeStats]:
+        """Caption every request. Returns (ANet submission dict, stats)."""
+        import jax.numpy as jnp
+
+        from bmhrl_tpu.ops.masking import make_masks
+        from bmhrl_tpu.train.decode import decode, detokenize
+
+        cfg = self.cfg
+        bs = batch_size or max(cfg.inference_batch_size, 1)
+        plan = plan_batches(reqs, cfg, bs)
+        stats = ServeStats()
+        shapes_seen = set()
+        sentences: List[Optional[str]] = [None] * len(reqs)
+
+        pool = ThreadPoolExecutor(max_workers=io_threads)
+
+        def batch_iter() -> Iterator[Dict]:
+            for idxs, vb, ab in plan:
+                pad_to = self._mesh_pad(bs if len(idxs) == bs else len(idxs))
+                yield _load_batch(reqs, idxs, vb, ab, cfg, pad_to, pool)
+
+        t0 = time.time()
+        for batch in Prefetcher(batch_iter(), prefetch,
+                                sharding=self._sharding):
+            bt0 = time.time()
+            feats = {k: batch[k] for k in ("rgb", "flow", "audio")}
+            if not hasattr(feats["rgb"], "devices"):  # prefetcher bypassed
+                feats = {k: jnp.asarray(v) for k, v in feats.items()}
+            masks_src = make_masks(feats, None, "audio_video", PAD)
+            tokens, _ = decode(self.model, self.params, feats, masks_src,
+                               cfg.max_len, BOS, EOS, PAD, greedy=True)
+            toks = np.asarray(tokens)[: batch["n_valid"]]
+            for i, sent in zip(batch["idxs"], detokenize(toks, self.itos)):
+                sentences[i] = sent
+            dt = time.time() - bt0
+            stats.batches += 1
+            stats.clips += batch["n_valid"]
+            stats.padded_rows += int(feats["rgb"].shape[0]) - batch["n_valid"]
+            stats.batch_latency_s.append(dt)
+            shapes_seen.add(tuple(int(feats[k].shape[i])
+                                  for k in ("rgb", "audio") for i in (0, 1)))
+        stats.wall_s = time.time() - t0
+        stats.compiles = len(shapes_seen)
+        total_rows = stats.clips + stats.padded_rows
+        stats.padded_frac = stats.padded_rows / max(total_rows, 1)
+        pool.shutdown()
+
+        predictions = {"version": "VERSION 1.0",
+                       "external_data": {"used": True, "details": ""},
+                       "results": {}}
+        for r, sent in zip(reqs, sentences):
+            seg = {"sentence": sent,
+                   "timestamp": [float(r.start), float(r.end)]}
+            predictions["results"].setdefault(r.video_id, []).append(seg)
+        return predictions, stats
