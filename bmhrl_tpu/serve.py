@@ -216,6 +216,8 @@ class CaptionServer:
         self.model = model
         self.itos = itos
         self.mesh = mesh
+        # AOT bundles compile fixed (B, vb, ab) shapes: tails pad to full B
+        self._fixed_batch = False
         self._sharding = None
         if mesh is not None and np.prod(mesh.devices.shape) > 1:
             from bmhrl_tpu.parallel import mesh as mesh_lib
@@ -230,6 +232,15 @@ class CaptionServer:
         n = int(self.mesh.devices.shape[0])
         return ((b + n - 1) // n) * n
 
+    def _decode(self, feats: Dict, masks_src: Dict) -> np.ndarray:
+        """One batch -> token ids (B, max_len+1). Overridden by the AOT
+        bundle server (serve_export.ExportedCaptionServer)."""
+        from bmhrl_tpu.train.decode import decode
+
+        tokens, _ = decode(self.model, self.params, feats, masks_src,
+                           self.cfg.max_len, BOS, EOS, PAD, greedy=True)
+        return np.asarray(tokens)
+
     def caption(self, reqs: Sequence[ClipRequest],
                 batch_size: Optional[int] = None,
                 io_threads: int = 8,
@@ -238,7 +249,7 @@ class CaptionServer:
         import jax.numpy as jnp
 
         from bmhrl_tpu.ops.masking import make_masks
-        from bmhrl_tpu.train.decode import decode, detokenize
+        from bmhrl_tpu.train.decode import detokenize
 
         cfg = self.cfg
         bs = batch_size or max(cfg.inference_batch_size, 1)
@@ -251,7 +262,8 @@ class CaptionServer:
 
         def batch_iter() -> Iterator[Dict]:
             for idxs, vb, ab in plan:
-                pad_to = self._mesh_pad(bs if len(idxs) == bs else len(idxs))
+                full = len(idxs) == bs or self._fixed_batch
+                pad_to = self._mesh_pad(bs if full else len(idxs))
                 yield _load_batch(reqs, idxs, vb, ab, cfg, pad_to, pool)
 
         t0 = time.time()
@@ -262,9 +274,7 @@ class CaptionServer:
             if not hasattr(feats["rgb"], "devices"):  # prefetcher bypassed
                 feats = {k: jnp.asarray(v) for k, v in feats.items()}
             masks_src = make_masks(feats, None, "audio_video", PAD)
-            tokens, _ = decode(self.model, self.params, feats, masks_src,
-                               cfg.max_len, BOS, EOS, PAD, greedy=True)
-            toks = np.asarray(tokens)[: batch["n_valid"]]
+            toks = self._decode(feats, masks_src)[: batch["n_valid"]]
             for i, sent in zip(batch["idxs"], detokenize(toks, self.itos)):
                 sentences[i] = sent
             dt = time.time() - bt0

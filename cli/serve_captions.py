@@ -43,6 +43,13 @@ def main(argv=None):
     p.add_argument("--config_json", default=None,
                    help="JSON dict of extra Config overrides "
                         '(e.g. \'{"d_model": 64}\' for ablation models)')
+    p.add_argument("--export_bundle", default=None,
+                   help="instead of serving, AOT-export the decode for "
+                        "exactly the shapes this request set plans to, "
+                        "into this bundle dir (see bmhrl_tpu/serve_export)")
+    p.add_argument("--from_bundle", default=None,
+                   help="serve from an AOT bundle dir (no model build; "
+                        "most model flags are ignored)")
     p.add_argument("--out", required=True, help="submission JSON path")
     args = p.parse_args(argv)
 
@@ -60,6 +67,28 @@ def main(argv=None):
                                  read_proposals_json)
     from bmhrl_tpu.train.loop import build_model
 
+    reqs = (read_proposals_json(args.proposals) if args.proposals
+            else read_meta_tsv(args.meta))
+    print(f"{len(reqs)} clip requests")
+
+    if args.from_bundle:
+        from bmhrl_tpu.serve_export import ExportedCaptionServer
+
+        mesh = None
+        if args.mesh > 1:
+            from bmhrl_tpu.parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.make_mesh((args.mesh, 1))
+        server = ExportedCaptionServer(
+            args.from_bundle, args.video_features_path,
+            args.audio_features_path, mesh=mesh)
+        predictions, stats = server.caption(
+            reqs, batch_size=args.batch_size, io_threads=args.io_threads)
+        with open(args.out, "w") as f:
+            json.dump(predictions, f)
+        print(json.dumps(stats.summary()))
+        return stats
+
     overrides = json.loads(args.config_json) if args.config_json else {}
     cfg = Config(
         mode=args.mode, train_meta_path=args.train_meta_path,
@@ -71,10 +100,6 @@ def main(argv=None):
     vocab = build_vocab_from_tsv(cfg.train_meta_path, cfg.min_freq_caps,
                                  cfg.glove_path, cfg.d_model_caps)
     model = build_model(cfg, len(vocab))
-
-    reqs = (read_proposals_json(args.proposals) if args.proposals
-            else read_meta_tsv(args.meta))
-    print(f"{len(reqs)} clip requests")
 
     # init at a tiny shape just to materialize the param tree
     feats0 = {"rgb": jnp.zeros((1, 8, cfg.d_vid)),
@@ -107,6 +132,18 @@ def main(argv=None):
                                      name="state")["cap_params"]
         except Exception:
             params = load_checkpoint(args.checkpoint_dir, abstract)
+
+    if args.export_bundle:
+        from bmhrl_tpu.serve import plan_batches
+        from bmhrl_tpu.serve_export import export_decode_bundle
+
+        plan = plan_batches(reqs, cfg, args.batch_size)
+        shapes = sorted({(args.batch_size, vb, ab) for _, vb, ab in plan})
+        manifest = export_decode_bundle(cfg, model, params, vocab.itos,
+                                        shapes, args.export_bundle)
+        print(json.dumps({"exported": manifest["shapes"],
+                          "bundle": args.export_bundle}))
+        return manifest
 
     mesh = None
     if args.mesh > 1:

@@ -163,6 +163,41 @@ def test_caption_server_mesh_parity(feature_dirs, train_tsv):
         assert s1 == s8, vid
 
 
+def test_export_bundle_roundtrip(feature_dirs, train_tsv, tmp_path):
+    """AOT bundle (jax.export blobs + params.npz) reproduces the live
+    server's sentences exactly, including row-padded tail batches."""
+    from bmhrl_tpu.serve import plan_batches
+    from bmhrl_tpu.serve_export import (ExportedCaptionServer,
+                                        export_decode_bundle)
+
+    root, vdir, adir = feature_dirs
+    cfg = Config(video_features_path=str(vdir),
+                 audio_features_path=str(adir), mesh_shape=(1, 1), **TINY)
+    server, vocab = _build_server(cfg, train_tsv)
+    reqs = _reqs(vdir, adir)
+    pred_live, _ = server.caption(reqs, batch_size=2)
+
+    plan = plan_batches(reqs, cfg, 2)
+    shapes = sorted({(2, vb, ab) for _, vb, ab in plan})
+    bundle = tmp_path / "bundle"
+    manifest = export_decode_bundle(cfg, server.model, server.params,
+                                    vocab.itos, shapes, str(bundle))
+    assert sorted(manifest["shapes"]) == [list(s) for s in shapes]
+    assert (bundle / "bundle.json").exists()
+    assert (bundle / "params.npz").exists()
+
+    exp_server = ExportedCaptionServer(str(bundle), str(vdir), str(adir))
+    pred_exp, stats = exp_server.caption(reqs, batch_size=2)
+    assert stats.clips == len(reqs)
+    for vid in pred_live["results"]:
+        live = [x["sentence"] for x in pred_live["results"][vid]]
+        exp = [x["sentence"] for x in pred_exp["results"][vid]]
+        assert live == exp, vid
+    # unknown shape is a clear error, not silent retracing
+    with pytest.raises(ValueError):
+        exp_server.caption(reqs, batch_size=3)
+
+
 def test_read_proposals_json(tmp_path):
     data = {"v_x": {"duration": 10.0, "timestamps": [[0.0, 5.0], [5.0, 10.0]]}}
     p = tmp_path / "props.json"
