@@ -211,11 +211,16 @@ class CaptionServer:
     """
 
     def __init__(self, cfg: Config, model, params, itos: List[str],
-                 mesh=None):
+                 mesh=None, beam_width: int = 1,
+                 length_penalty: float = 0.0):
         self.cfg = cfg
         self.model = model
         self.itos = itos
         self.mesh = mesh
+        # beam_width > 1: beam-search decode (train/decode.beam_decode) —
+        # a serving quality knob the reference lacks (greedy only)
+        self.beam_width = int(beam_width)
+        self.length_penalty = float(length_penalty)
         # AOT bundles compile fixed (B, vb, ab) shapes: tails pad to full B
         self._fixed_batch = False
         self._sharding = None
@@ -235,10 +240,16 @@ class CaptionServer:
     def _decode(self, feats: Dict, masks_src: Dict) -> np.ndarray:
         """One batch -> token ids (B, max_len+1). Overridden by the AOT
         bundle server (serve_export.ExportedCaptionServer)."""
-        from bmhrl_tpu.train.decode import decode
+        from bmhrl_tpu.train.decode import beam_decode, decode
 
-        tokens, _ = decode(self.model, self.params, feats, masks_src,
-                           self.cfg.max_len, BOS, EOS, PAD, greedy=True)
+        if self.beam_width > 1:
+            tokens, _ = beam_decode(
+                self.model, self.params, feats, masks_src, self.cfg.max_len,
+                BOS, EOS, PAD, beam_width=self.beam_width,
+                length_penalty=self.length_penalty)
+        else:
+            tokens, _ = decode(self.model, self.params, feats, masks_src,
+                               self.cfg.max_len, BOS, EOS, PAD, greedy=True)
         return np.asarray(tokens)
 
     def caption(self, reqs: Sequence[ClipRequest],

@@ -69,8 +69,12 @@ def export_decode_bundle(
     itos: Sequence[str],
     shapes: Sequence[Tuple[int, int, int]],
     out_dir: str,
+    beam_width: int = 1,
+    length_penalty: float = 0.0,
 ) -> Dict:
-    """Export greedy decode at each (B, video_bucket, audio_bucket) shape.
+    """Export the decode at each (B, video_bucket, audio_bucket) shape —
+    greedy by default, beam search when ``beam_width`` > 1 (baked into the
+    compiled artifact).
 
     ``params`` is the model variable collection ({"params": ...}); it is
     saved once and passed to every exported call (blobs stay small — the
@@ -80,7 +84,7 @@ def export_decode_bundle(
     from jax import export as jexport
 
     from bmhrl_tpu.ops.masking import make_masks
-    from bmhrl_tpu.train.decode import decode
+    from bmhrl_tpu.train.decode import beam_decode, decode
 
     os.makedirs(out_dir, exist_ok=True)
     params = _to_plain(params)
@@ -88,8 +92,13 @@ def export_decode_bundle(
     def decode_fn(p, rgb, flow, audio):
         feats = {"rgb": rgb, "flow": flow, "audio": audio}
         masks_src = make_masks(feats, None, "audio_video", PAD)
-        tokens, _ = decode(model, p, feats, masks_src, cfg.max_len,
-                           BOS, EOS, PAD, greedy=True)
+        if beam_width > 1:
+            tokens, _ = beam_decode(model, p, feats, masks_src, cfg.max_len,
+                                    BOS, EOS, PAD, beam_width=beam_width,
+                                    length_penalty=length_penalty)
+        else:
+            tokens, _ = decode(model, p, feats, masks_src, cfg.max_len,
+                               BOS, EOS, PAD, greedy=True)
         return tokens
 
     if not shapes:
@@ -116,6 +125,8 @@ def export_decode_bundle(
         "d_vid": int(cfg.d_vid),
         "d_aud": int(cfg.d_aud),
         "mode": cfg.mode,
+        "beam_width": int(beam_width),
+        "length_penalty": float(length_penalty),
         "platforms": list(getattr(exp, "platforms", ())),
     }
     with open(os.path.join(out_dir, "bundle.json"), "w") as f:

@@ -362,6 +362,120 @@ def decode(
         pad_idx, greedy, rng, exploration)
 
 
+@partial(jax.jit, static_argnames=(
+    "model", "max_len", "start_idx", "end_idx", "pad_idx", "beam_width",
+    "length_penalty"))
+def beam_decode(
+    model,
+    params,
+    feats: Dict[str, jnp.ndarray],
+    masks_src: Dict[str, jnp.ndarray],
+    max_len: int,
+    start_idx: int,
+    end_idx: int,
+    pad_idx: int,
+    beam_width: int = 4,
+    length_penalty: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-search decode (serving quality knob — the reference decodes
+    greedily only, ref: epoch_loops/captioning_bmrl_loops.py:61-76).
+
+    Standard batched beam search over the full-buffer step (works for
+    every model family: the incremental caches would need per-step
+    reindexing by parent beam; the clip-major (B*W) layout here keeps the
+    memory/mask tensors repeated once up front instead). Finished beams
+    continue with a forced PAD at unchanged score. ``length_penalty``
+    applies GNMT-style normalization score / ((5+len)/6)^a at the final
+    selection. Returns (tokens (B, max_len+1) of the best beam, its
+    cumulative log-prob (B,))."""
+    W = int(beam_width)
+    V_feat = feats["rgb"] + feats["flow"]
+    A_feat = feats["audio"]
+    B = V_feat.shape[0]
+    Va, Av = model.apply(params, V_feat, A_feat, masks_src, method="encode")
+
+    rep = lambda x: jnp.repeat(x, W, axis=0)  # clip-major: row b*W + w
+    Va_b = jax.tree.map(rep, Va)
+    Av_b = jax.tree.map(rep, Av)
+    masks_b = {k: rep(v) for k, v in masks_src.items()}
+    if hasattr(type(model), "precompute_fusion_kv"):
+        fusion_kv = model.apply(params, Va_b, Av_b,
+                                method="precompute_fusion_kv")
+        extra = {"fusion_kv": fusion_kv}
+    else:
+        extra = {}
+
+    BW = B * W
+    L = max_len + 1
+    NEG = jnp.float32(-1e9)
+    trg0 = jnp.full((BW, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
+    done0 = jnp.zeros((BW,), bool)
+    labels0 = jnp.zeros((BW, L), jnp.int32)
+    crit0 = model.apply(params, BW, method="critic_init_state")
+    # beams 1..W-1 start dead so step 0 selects from beam 0's candidates
+    scores0 = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.full((W - 1,), NEG)]), B)
+    len0 = jnp.zeros((BW,), jnp.int32)
+    thresh = model.critic_score_threshold
+    use_frontier = hasattr(type(model), "decode_frontier")
+    noise_rng = {"noise": jax.random.PRNGKey(0)}  # exploration is off
+
+    def cond(carry):
+        t, done = carry[0], carry[2]
+        return (t < max_len) & ~jnp.all(done)
+
+    def body(carry):
+        t, trg, done, scores, crit, labels, lengths = carry
+        score_t, crit = model.apply(
+            params, trg[jnp.arange(BW), t], crit, method="critic_step")
+        lab_t = (jax.nn.sigmoid(score_t) > thresh).astype(jnp.int32)
+        labels = labels.at[:, t].set(lab_t)
+
+        masks = dict(masks_b)
+        masks["C_mask"] = c_mask(trg, pad_idx)
+        if use_frontier:
+            logits_t = model.apply(
+                params, trg, labels, Va_b, Av_b, masks, t,
+                exploration=False, method="decode_frontier", **extra,
+                rngs=noise_rng)
+        else:
+            preds = model.apply(
+                params, trg, labels, Va_b, Av_b, masks, exploration=False,
+                method="decode_with_labels", **extra, rngs=noise_rng)[0]
+            logits_t = preds[jnp.arange(BW), t]  # (BW, V) log-probs
+        voc = logits_t.shape[-1]
+        # finished beams: single PAD continuation at unchanged score
+        pad_row = jnp.full((voc,), NEG).at[pad_idx].set(0.0)
+        logp = jnp.where(done[:, None], pad_row[None], logits_t)
+        cand = (scores[:, None] + logp).reshape(B, W * voc)
+        top_s, top_i = jax.lax.top_k(cand, W)          # (B, W)
+        parent = top_i // voc
+        token = (top_i % voc).astype(jnp.int32)
+        flat_parent = (jnp.arange(B)[:, None] * W + parent).reshape(-1)
+
+        prev_done = done[flat_parent]
+        trg = trg[flat_parent].at[:, t + 1].set(token.reshape(-1))
+        labels = labels[flat_parent]
+        crit = jax.tree.map(lambda x: x[flat_parent], crit)
+        lengths = lengths[flat_parent] + (~prev_done).astype(jnp.int32)
+        done = prev_done | (token.reshape(-1) == end_idx)
+        scores = top_s.reshape(-1)
+        return (t + 1, trg, done, scores, crit, labels, lengths)
+
+    carry = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), trg0, done0, scores0, crit0, labels0, len0))
+    trg, scores, lengths = carry[1], carry[3], carry[6]
+    if length_penalty > 0.0:
+        lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+        ranked = scores / lp
+    else:
+        ranked = scores
+    best = jnp.argmax(ranked.reshape(B, W), axis=-1)   # (B,)
+    rows = jnp.arange(B) * W + best
+    return trg[rows], scores[rows]
+
+
 def detokenize(tokens, itos, end_token: str = "</s>") -> list:
     """ids -> capitalized sentences: strip <s>, cut at first </s>.
     ref: epoch_loops/validation_loops.py:62-85."""

