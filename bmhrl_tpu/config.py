@@ -135,6 +135,10 @@ class Config:
     audio_buckets: Tuple[int, ...] = (64, 128, 256, 512, 800)
     caption_buckets: Tuple[int, ...] = (32, 64)
     prefetch_batches: int = 2
+    # eval/serving beam search (1 = greedy, the reference's only decoder);
+    # length_penalty is the GNMT normalization exponent for beam ranking
+    beam_width: int = 1
+    length_penalty: float = 0.0
     use_pallas_attention: bool = True
     # fused encoder-layer Pallas ops (LN+QKV / epilogue+FFN single passes;
     # deterministic forward only). Default OFF until the on-chip A/B

@@ -91,9 +91,17 @@ def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
             break
         feats = {k: jnp.asarray(batch[k]) for k in ("rgb", "flow", "audio")}
         masks_src = make_masks(feats, None, "audio_video", PAD)
-        tokens, _ = decode(
-            model, state.cap_params, feats, masks_src, cfg.max_len,
-            BOS, EOS, PAD, greedy=True)
+        if getattr(cfg, "beam_width", 1) > 1:
+            from bmhrl_tpu.train.decode import beam_decode
+
+            tokens, _ = beam_decode(
+                model, state.cap_params, feats, masks_src, cfg.max_len,
+                BOS, EOS, PAD, beam_width=cfg.beam_width,
+                length_penalty=cfg.length_penalty)
+        else:
+            tokens, _ = decode(
+                model, state.cap_params, feats, masks_src, cfg.max_len,
+                BOS, EOS, PAD, greedy=True)
         sentences = detokenize(np.asarray(tokens)[: batch["n_valid"]], itos)
         for vid, s, e, sent in zip(batch["video_ids"], batch["starts"],
                                    batch["ends"], sentences):

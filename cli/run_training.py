@@ -137,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace dir (first epoch)")
+    p.add_argument("--beam_width", type=int, default=1,
+                   help="eval-decode beam width (1 = greedy like the "
+                        "reference); quality knob for validation/eval mode")
+    p.add_argument("--length_penalty", type=float, default=0.0,
+                   help="GNMT length-normalization exponent for beam rank")
     p.add_argument("--no_pallas_attention", dest="use_pallas_attention",
                    action="store_false", default=True)
     p.add_argument("--use_fused_encoder", action="store_true", default=False,
