@@ -131,11 +131,13 @@ def _decode_loop(
     return carry[1], carry[4]
 
 
-def _decode_loop_fast(
-    model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
-    pad_idx, greedy, rng,
-):
-    """Fully incremental decode loop: O(1) positions per token (KV-cached
+def _fast_setup(model, params, Va, Av, masks_src, B, L):
+    """Shared setup of the fully incremental decode step — used by the
+    greedy/sampled loop (_decode_loop_fast) and the fast beam loop
+    (_beam_loop_fast). Returns (caches0, valid0, step_fn, gather_caches)
+    where ``step_fn(tok_t, t, caches, valid) -> (logits_t, caches)`` and
+    ``gather_caches(caches, idx)`` reindexes every cache's batch rows
+    (beam-search parent gather). O(1) positions per token (KV-cached
     self-attention, carried critic state, folded cross-attention over the
     raw encoder memories). Exact for exploration=False. Requires the model
     to expose ``FUSION_PARAM_KEYS`` (BMHrlAgent). TPU structure:
@@ -153,12 +155,7 @@ def _decode_loop_fast(
     - a validity mask over generated positions (token != PAD) reproduces
       the full-buffer path's C_mask semantics for the caption-side
       attentions — a degenerate model can emit PAD mid-caption."""
-    L = max_len + 1
-    trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
-    done0 = jnp.zeros((B,), bool)
     caches0 = model.apply(params, B, L, method="init_decode_caches")
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
 
     # folded-KV path: attend the raw encoder memories directly (shared
     # across the two stacked fusion stacks — vmap broadcasts them), no
@@ -194,10 +191,6 @@ def _decode_loop_fast(
             stack2, caches0.pop("wself"), caches0.pop("mself"))
     # PAD-validity of consumed positions (<s> at 0 is valid by definition)
     valid0 = jnp.zeros((B, L), bool).at[:, 0].set(True)
-
-    def cond(carry):
-        t, _, done = carry[0], carry[1], carry[2]
-        return (t < max_len) & ~jnp.all(done)
 
     from bmhrl_tpu.ops import attention as fused_ops
 
@@ -288,14 +281,46 @@ def _decode_loop_fast(
             params, tok_t, t, caches, masks_src, kv_mem, Av,
             key_mask=valid, method="decode_step")
 
+    step_fn = step_detr if detr else step_stacked
+
+    def gather_caches(caches, idx):
+        """Reindex every cache's batch rows; the stacked-fusion caches
+        carry the worker/manager axis FIRST, batch second."""
+        if detr:
+            return jax.tree.map(lambda x: x[idx], caches)
+        return {
+            "critic": jax.tree.map(lambda x: x[idx], caches["critic"]),
+            "fus": jax.tree.map(lambda x: x[:, idx], caches["fus"]),
+            "goal": caches["goal"][idx],
+            "hb": caches["hb"][idx],
+        }
+
+    return caches0, valid0, step_fn, gather_caches
+
+
+def _decode_loop_fast(
+    model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
+    pad_idx, greedy, rng,
+):
+    """Fully incremental greedy/sampled decode loop (step machinery and
+    exactness notes: _fast_setup)."""
+    L = max_len + 1
+    trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
+    done0 = jnp.zeros((B,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    caches0, valid0, step_fn, _ = _fast_setup(
+        model, params, Va, Av, masks_src, B, L)
+
+    def cond(carry):
+        t, _, done = carry[0], carry[1], carry[2]
+        return (t < max_len) & ~jnp.all(done)
+
     def body(carry):
         t, trg, done, rng, probs, caches, valid = carry
         tok_t = trg[jnp.arange(B), t]
         valid = valid.at[:, t].set(tok_t != pad_idx).at[:, 0].set(True)
-        if detr:
-            logits_t, caches = step_detr(tok_t, t, caches, valid)
-        else:
-            logits_t, caches = step_stacked(tok_t, t, caches, valid)
+        logits_t, caches = step_fn(tok_t, t, caches, valid)
         rng, sub = jax.random.split(rng)
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
@@ -362,9 +387,21 @@ def decode(
         pad_idx, greedy, rng, exploration)
 
 
+def _beam_pick(trg, scores, lengths, B, W, length_penalty):
+    """Final beam selection: GNMT length normalization, best row per clip."""
+    if length_penalty > 0.0:
+        lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+        ranked = scores / lp
+    else:
+        ranked = scores
+    best = jnp.argmax(ranked.reshape(B, W), axis=-1)   # (B,)
+    rows = jnp.arange(B) * W + best
+    return trg[rows], scores[rows]
+
+
 @partial(jax.jit, static_argnames=(
     "model", "max_len", "start_idx", "end_idx", "pad_idx", "beam_width",
-    "length_penalty"))
+    "length_penalty", "use_fast"))
 def beam_decode(
     model,
     params,
@@ -376,23 +413,36 @@ def beam_decode(
     pad_idx: int,
     beam_width: int = 4,
     length_penalty: float = 0.0,
+    use_fast: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode (serving quality knob — the reference decodes
     greedily only, ref: epoch_loops/captioning_bmrl_loops.py:61-76).
 
-    Standard batched beam search over the full-buffer step (works for
-    every model family: the incremental caches would need per-step
-    reindexing by parent beam; the clip-major (B*W) layout here keeps the
-    memory/mask tensors repeated once up front instead). Finished beams
-    continue with a forced PAD at unchanged score. ``length_penalty``
-    applies GNMT-style normalization score / ((5+len)/6)^a at the final
-    selection. Returns (tokens (B, max_len+1) of the best beam, its
-    cumulative log-prob (B,))."""
+    Standard batched beam search in a clip-major (B*W) layout: candidates
+    are cumulative log-probs, parent beams are gathered by top-k index,
+    finished beams continue with a forced PAD at unchanged score.
+    ``length_penalty`` applies GNMT-style normalization
+    score / ((5+len)/6)^a at the final selection. Models with an
+    incremental step contract run the O(1)-positions KV-cached loop with
+    per-step cache reindexing (token-exact with the full-buffer beam,
+    tested); the rest re-run the full buffer per token. Returns (tokens
+    (B, max_len+1) of the best beam, its cumulative log-prob (B,))."""
     W = int(beam_width)
     V_feat = feats["rgb"] + feats["flow"]
     A_feat = feats["audio"]
     B = V_feat.shape[0]
     Va, Av = model.apply(params, V_feat, A_feat, masks_src, method="encode")
+
+    incremental = (hasattr(type(model), "FUSION_PARAM_KEYS")
+                   or hasattr(type(model), "UNI_FUSION_PARAM_PREFIXES")
+                   or (hasattr(type(model), "DETR_INCREMENTAL")
+                       and not model.pre_goal_attention))
+    if use_fast is None:
+        use_fast = True
+    if use_fast and incremental:
+        return _beam_loop_fast(model, params, Va, Av, masks_src, B,
+                               max_len, start_idx, end_idx, pad_idx, W,
+                               length_penalty)
 
     rep = lambda x: jnp.repeat(x, W, axis=0)  # clip-major: row b*W + w
     Va_b = jax.tree.map(rep, Va)
@@ -465,15 +515,62 @@ def beam_decode(
     carry = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), trg0, done0, scores0, crit0, labels0, len0))
-    trg, scores, lengths = carry[1], carry[3], carry[6]
-    if length_penalty > 0.0:
-        lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
-        ranked = scores / lp
-    else:
-        ranked = scores
-    best = jnp.argmax(ranked.reshape(B, W), axis=-1)   # (B,)
-    rows = jnp.arange(B) * W + best
-    return trg[rows], scores[rows]
+    return _beam_pick(carry[1], carry[3], carry[6], B, W, length_penalty)
+
+
+def _beam_loop_fast(model, params, Va, Av, masks_src, B, max_len,
+                    start_idx, end_idx, pad_idx, W, length_penalty):
+    """Beam search over the incremental step: O(1) positions per token,
+    with every per-row cache (KV, critic RNN state, goal buffer, boundary
+    flag, validity mask) gathered by parent beam each step
+    (_fast_setup.gather_caches)."""
+    L = max_len + 1
+    rep = lambda x: jnp.repeat(x, W, axis=0)  # noqa: E731  clip-major
+    Va_b = jax.tree.map(rep, Va)
+    Av_b = jax.tree.map(rep, Av)
+    masks_b = {k: rep(v) for k, v in masks_src.items()}
+    BW = B * W
+    caches0, valid0, step_fn, gather_caches = _fast_setup(
+        model, params, Va_b, Av_b, masks_b, BW, L)
+
+    NEG = jnp.float32(-1e9)
+    trg0 = jnp.full((BW, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
+    done0 = jnp.zeros((BW,), bool)
+    # beams 1..W-1 start dead so step 0 selects from beam 0's candidates
+    scores0 = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.full((W - 1,), NEG)]), B)
+    len0 = jnp.zeros((BW,), jnp.int32)
+
+    def cond(carry):
+        t, done = carry[0], carry[2]
+        return (t < max_len) & ~jnp.all(done)
+
+    def body(carry):
+        t, trg, done, scores, caches, valid, lengths = carry
+        tok_t = trg[jnp.arange(BW), t]
+        valid = valid.at[:, t].set(tok_t != pad_idx).at[:, 0].set(True)
+        logits_t, caches = step_fn(tok_t, t, caches, valid)
+        voc = logits_t.shape[-1]
+        pad_row = jnp.full((voc,), NEG).at[pad_idx].set(0.0)
+        logp = jnp.where(done[:, None], pad_row[None], logits_t)
+        cand = (scores[:, None] + logp).reshape(B, W * voc)
+        top_s, top_i = jax.lax.top_k(cand, W)          # (B, W)
+        parent = top_i // voc
+        token = (top_i % voc).astype(jnp.int32)
+        flat_parent = (jnp.arange(B)[:, None] * W + parent).reshape(-1)
+        prev_done = done[flat_parent]
+        trg = trg[flat_parent].at[:, t + 1].set(token.reshape(-1))
+        valid = valid[flat_parent]
+        caches = gather_caches(caches, flat_parent)
+        lengths = lengths[flat_parent] + (~prev_done).astype(jnp.int32)
+        done = prev_done | (token.reshape(-1) == end_idx)
+        scores = top_s.reshape(-1)
+        return (t + 1, trg, done, scores, caches, valid, lengths)
+
+    carry = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), trg0, done0, scores0, caches0, valid0, len0))
+    return _beam_pick(carry[1], carry[3], carry[6], B, W, length_penalty)
 
 
 def detokenize(tokens, itos, end_token: str = "</s>") -> list:

@@ -141,6 +141,80 @@ def test_beam_matches_numpy_reference(setup, lp):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_beam_fast_matches_full_buffer(setup):
+    """The incremental (KV-cached, cache-reindexing) beam is token-exact
+    with the full-buffer beam."""
+    model, params, feats, masks_src = setup
+    toks_f, s_f = beam_decode(model, params, feats, masks_src, MAX_LEN,
+                              BOS, EOS, PAD, beam_width=3, use_fast=True)
+    toks_s, s_s = beam_decode(model, params, feats, masks_src, MAX_LEN,
+                              BOS, EOS, PAD, beam_width=3, use_fast=False)
+    np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_s))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_beam_fast_matches_full_buffer_detr():
+    """Fast beam on the DETR family (axis-0 cache gather, step_detr)."""
+    from bmhrl_tpu.models.detr import DetrCaption
+
+    model = DetrCaption(voc_size=20, d_model=64, d_model_caps=16, d_goal=8,
+                        nhead=2, num_layers=1, n_time=2, dim_ff=32,
+                        dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    feats = {
+        "rgb": jnp.asarray(rng.rand(2, 8, 64), jnp.float32),
+        "flow": jnp.asarray(rng.rand(2, 8, 64), jnp.float32),
+        "audio": jnp.asarray(rng.rand(2, 10, 16), jnp.float32),
+    }
+    trg0 = jnp.full((2, 4), PAD, jnp.int32).at[:, 0].set(BOS)
+    masks0 = make_masks(feats, trg0, "audio_video", PAD)
+    k = jax.random.PRNGKey(1)
+    params = jax.jit(model.init)(
+        {"params": k, "dropout": k, "noise": k},
+        (feats["rgb"] + feats["flow"], feats["audio"]), trg0, masks0)
+    masks_src = make_masks(feats, None, "audio_video", PAD)
+    toks_f, s_f = beam_decode(model, params, feats, masks_src, 6,
+                              BOS, EOS, PAD, beam_width=3, use_fast=True)
+    toks_s, s_s = beam_decode(model, params, feats, masks_src, 6,
+                              BOS, EOS, PAD, beam_width=3, use_fast=False)
+    np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_s))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_beam_fast_matches_full_buffer_unimodal():
+    """Fast beam on the unimodal family (stacked uni fusion caches)."""
+    from bmhrl_tpu.config import Config
+    from bmhrl_tpu.models.unimodal import AudioAgent
+
+    cfg = Config(B=2, mesh_shape=(1, 1), to_log=False, d_vid=16, d_aud=8,
+                 d_model=16, d_model_caps=12, rl_att_heads=2,
+                 rl_att_layers=1, rl_ff_v=16, rl_ff_a=8, rl_ff_c=16,
+                 rl_goal_d=8)
+    model = AudioAgent.build(cfg, 20, jnp.float32)
+    rng = np.random.RandomState(9)
+    feats = {
+        "rgb": jnp.asarray(rng.rand(2, 6, 16), jnp.float32),
+        "flow": jnp.asarray(rng.rand(2, 6, 16), jnp.float32),
+        "audio": jnp.asarray(rng.rand(2, 9, 8), jnp.float32),
+    }
+    trg0 = jnp.full((2, 4), PAD, jnp.int32).at[:, 0].set(BOS)
+    masks0 = make_masks(feats, trg0, "audio_video", PAD)
+    k = jax.random.PRNGKey(2)
+    params = jax.jit(model.init)(
+        {"params": k, "dropout": k, "noise": k},
+        (feats["rgb"] + feats["flow"], feats["audio"]), trg0, masks0)
+    masks_src = make_masks(feats, None, "audio_video", PAD)
+    toks_f, s_f = beam_decode(model, params, feats, masks_src, 6,
+                              BOS, EOS, PAD, beam_width=3, use_fast=True)
+    toks_s, s_s = beam_decode(model, params, feats, masks_src, 6,
+                              BOS, EOS, PAD, beam_width=3, use_fast=False)
+    np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_s))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_beam_score_is_sum_of_token_logprobs(setup):
     """The winning beam's reported score must equal the sum of its tokens'
     log-probs under teacher forcing of that same sequence."""
