@@ -250,6 +250,29 @@ def _decode_long_bench(jax, jnp, model, params, masks_for, max_len=30):
     return out
 
 
+def _beam_bench(jax, jnp, model, params, feats_for, masks_for, max_len=30):
+    """Beam-search serving rate (quality knob the reference lacks): W=4
+    incremental beam at B=256, worst-case full-length captions."""
+    from bmhrl_tpu.train.decode import beam_decode
+
+    B = 256
+    feats = feats_for(B)
+    masks_src = masks_for(feats, None)
+
+    def run():
+        toks, _ = beam_decode(model, params, feats, masks_src, max_len,
+                              2, -1, 1, beam_width=4, length_penalty=1.0)
+        return np.asarray(toks)
+
+    run()  # compile
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    return {"beam_W4_B256_clips_per_sec": round(
+        B / ((time.time() - t0) / iters), 2)}
+
+
 def main():
     from bmhrl_tpu.utils.jax_setup import setup_jax
 
@@ -298,6 +321,8 @@ def main():
         jax, jnp, model, params_for, feats_for, masks_for)
     long_decode = _decode_long_bench(jax, jnp, model, _param_cache["p"],
                                      masks_for)
+    beam = _beam_bench(jax, jnp, model, _param_cache["p"], feats_for,
+                       masks_for)
     train = _train_bench(jax, jnp, model)
 
     extra = {f"decode_B{b}_clips_per_sec": round(v, 2)
@@ -305,6 +330,7 @@ def main():
     extra["best_batch"] = best_B
     extra["reference_style_clips_per_sec"] = round(ref, 2)
     extra.update(long_decode)
+    extra.update(beam)
     extra.update({k: round(v, 3) for k, v in train.items()})
     extra["flash_attention_on"] = True
     print(json.dumps({

@@ -79,6 +79,62 @@ class ProposalDataset:
             "gt_segments": segs,
         }
 
+    def make_batch(self, idxs: List[int]) -> Dict:
+        """Stacked model-ready batch for MultimodalProposalGenerator:
+        feature stacks (V = rgb + flow, A), orig-length masks, and
+        host-assembled YOLO targets per modality (models/proposal.yolo_targets
+        — GT matching is data-dependent, so it stays off-device)."""
+        from bmhrl_tpu.models.proposal import yolo_targets
+
+        items = [self[i] for i in idxs]
+        anchors = np.asarray(self.anchors, np.float32)
+
+        def stack_tgts(grid_key, pad_to):
+            per = [yolo_targets(
+                it["gt_segments"], it["duration"], it[grid_key], pad_to,
+                anchors) for it in items]
+            return {k: np.stack([p[k] for p in per])
+                    for k in ("obj", "ignore", "t_center", "t_length")}
+
+        V = np.stack([it["rgb"] + it["flow"] for it in items])
+        A = np.stack([it["audio"] for it in items])
+        olv = np.asarray([it["orig_len_video"] for it in items], np.int32)
+        ola = np.asarray([it["orig_len_audio"] for it in items], np.int32)
+        masks = {
+            "V_mask": (np.arange(self.pad_video_to)[None]
+                       < olv[:, None])[:, None, :],
+            "A_mask": (np.arange(self.pad_audio_to)[None]
+                       < ola[:, None])[:, None, :],
+        }
+        return {
+            "feature_stacks": {"V": V, "A": A},
+            "masks": masks,
+            "targets": {
+                "video": stack_tgts("orig_len_video", self.pad_video_to),
+                "audio": stack_tgts("orig_len_audio", self.pad_audio_to),
+                "anchors_v": anchors,
+                "anchors_a": anchors,
+                "duration": np.asarray(
+                    [it["duration"] for it in items], np.float32),
+                "orig_len_video": olv,
+                "orig_len_audio": ola,
+            },
+            "video_ids": [it["video_id"] for it in items],
+            "durations": [it["duration"] for it in items],
+            "gt_segments": [it["gt_segments"] for it in items],
+        }
+
+    def batches(self, epoch: int, batch_size: int, shuffle: bool = True,
+                seed: int = 0):
+        idxs = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed * 100003 + epoch).shuffle(idxs)
+        for s in range(0, len(idxs) - batch_size + 1 if shuffle
+                       else len(idxs), batch_size):
+            chunk = idxs[s: s + batch_size].tolist()
+            if chunk:
+                yield self.make_batch(chunk)
+
     def anchor_targets(self, gt_segments: np.ndarray, duration: float,
                        grid: int = 64, iou_threshold: float = 0.5
                        ) -> np.ndarray:

@@ -23,7 +23,8 @@ import sys
 GROUPS = [
     ["tests/test_cross_mesh_equivalence.py"],
     ["tests/test_multichip.py", "tests/test_loop_e2e.py"],
-    ["tests/test_synthetic_learning.py", "tests/test_steps.py"],
+    ["tests/test_synthetic_learning.py", "tests/test_steps.py",
+     "tests/test_proposal_model.py"],
     ["tests/test_detr.py", "tests/test_decode.py",
      "tests/test_beam_decode.py", "tests/test_serve.py"],
     ["tests/test_torch_parity.py", "tests/test_torch_parity_detr.py",
