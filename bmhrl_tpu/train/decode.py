@@ -28,6 +28,31 @@ import jax.numpy as jnp
 from bmhrl_tpu.ops.masking import c_mask
 
 
+def sample_filter(logits: jnp.ndarray, temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 0.0) -> jnp.ndarray:
+    """Sampling controls over per-step (B, V) log-probs: temperature
+    scaling, top-k truncation, nucleus (top-p) truncation — serving
+    diversity knobs the reference lacks (its sampled rollout is plain
+    categorical, ref: captioning_bmrl_loops.py:277-283). Masked-out
+    entries get -1e9 (the codebase's masking convention); the top-1 token
+    always survives."""
+    if temperature != 1.0:
+        logits = logits / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -1e9, logits)
+    if top_p and top_p > 0.0:
+        sl = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        probs = jax.nn.softmax(sl, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest prefix whose mass reaches top_p (top-1 always kept)
+        keep = jnp.maximum(jnp.sum((cum - probs) < top_p, axis=-1,
+                                   keepdims=True), 1)
+        thresh = jnp.take_along_axis(sl, keep - 1, axis=-1)
+        logits = jnp.where(logits < thresh, -1e9, logits)
+    return logits
+
+
 def make_stacked_fusion(model):
     """Standalone BMFusion with the agent's hyperparams (constructed here —
     flax forbids calling helper methods on an unbound module)."""
@@ -64,6 +89,7 @@ def _decode_loop(
     greedy: bool,
     rng: Optional[jax.Array],
     exploration: bool = False,
+    sample_args=(1.0, 0, 0.0),
 ):
     L = max_len + 1
     trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
@@ -117,7 +143,9 @@ def _decode_loop(
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
         else:
-            nxt = jax.random.categorical(sub, logits_t, axis=-1).astype(jnp.int32)
+            nxt = jax.random.categorical(
+                sub, sample_filter(logits_t, *sample_args),
+                axis=-1).astype(jnp.int32)
         p_t = jnp.take_along_axis(
             jnp.exp(logits_t), nxt[:, None], axis=-1)[:, 0]
         trg = trg.at[:, t + 1].set(nxt)
@@ -300,10 +328,11 @@ def _fast_setup(model, params, Va, Av, masks_src, B, L):
 
 def _decode_loop_fast(
     model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
-    pad_idx, greedy, rng,
+    pad_idx, greedy, rng, sample_args=(1.0, 0, 0.0),
 ):
     """Fully incremental greedy/sampled decode loop (step machinery and
-    exactness notes: _fast_setup)."""
+    exactness notes: _fast_setup). ``sample_args`` = (temperature, top_k,
+    top_p) for the sampled branch (sample_filter)."""
     L = max_len + 1
     trg0 = jnp.full((B, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)
     done0 = jnp.zeros((B,), bool)
@@ -325,7 +354,11 @@ def _decode_loop_fast(
         if greedy:
             nxt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
         else:
-            nxt = jax.random.categorical(sub, logits_t, axis=-1).astype(jnp.int32)
+            nxt = jax.random.categorical(
+                sub, sample_filter(logits_t, *sample_args),
+                axis=-1).astype(jnp.int32)
+        # recorded prob is the model's TRUE prob of the chosen token (the
+        # sampling filter only shapes the proposal distribution)
         p_t = jnp.take_along_axis(jnp.exp(logits_t), nxt[:, None], axis=-1)[:, 0]
         trg = trg.at[:, t + 1].set(nxt)
         probs = probs.at[:, t + 1].set(p_t)
@@ -341,7 +374,7 @@ def _decode_loop_fast(
 
 @partial(jax.jit, static_argnames=(
     "model", "max_len", "start_idx", "end_idx", "pad_idx", "greedy",
-    "exploration", "use_fast"))
+    "exploration", "use_fast", "temperature", "top_k", "top_p"))
 def decode(
     model,
     params,
@@ -355,10 +388,14 @@ def decode(
     rng: Optional[jax.Array] = None,
     exploration: bool = False,
     use_fast: Optional[bool] = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy/sampled decode. feats: {'rgb','flow','audio'}; V = rgb + flow
     (ref: captioning_bmrl_loops.py:92). Returns (tokens (B, max_len+1),
-    per-step chosen-token probs)."""
+    per-step chosen-token probs — the model's TRUE probs; temperature/
+    top_k/top_p only shape the sampling proposal (sample_filter)."""
     V = feats["rgb"] + feats["flow"]
     A = feats["audio"]
     B = V.shape[0]
@@ -378,13 +415,14 @@ def decode(
                    or hasattr(type(model), "UNI_FUSION_PARAM_PREFIXES")
                    or (hasattr(type(model), "DETR_INCREMENTAL")
                        and not model.pre_goal_attention))
+    sample_args = (temperature, top_k, top_p)
     if use_fast and incremental and not exploration:
         return _decode_loop_fast(
             model, params, Va, Av, masks_src, B, max_len, start_idx,
-            end_idx, pad_idx, greedy, rng)
+            end_idx, pad_idx, greedy, rng, sample_args)
     return _decode_loop(
         model, params, Va, Av, masks_src, B, max_len, start_idx, end_idx,
-        pad_idx, greedy, rng, exploration)
+        pad_idx, greedy, rng, exploration, sample_args)
 
 
 def _beam_pick(trg, scores, lengths, B, W, length_penalty):

@@ -139,3 +139,38 @@ def test_fast_decode_matches_full_with_pad_emissions(model_setup):
                                   np.asarray(fast_toks))
     np.testing.assert_allclose(np.asarray(full_probs),
                                np.asarray(fast_probs), rtol=1e-4, atol=1e-5)
+
+
+def test_sample_filter_semantics():
+    """top-k keeps exactly the k best, nucleus keeps the smallest prefix
+    reaching p, temperature rescales — against a numpy reference."""
+    from bmhrl_tpu.train.decode import sample_filter
+
+    logp = np.log(np.asarray([[0.5, 0.25, 0.15, 0.08, 0.02]], np.float32))
+    # top_k=2: only the two largest survive
+    out = np.asarray(sample_filter(jnp.asarray(logp), top_k=2))
+    assert (out[0, :2] > -1e8).all() and (out[0, 2:] <= -1e8).all()
+    # top_p=0.6: 0.5 alone < 0.6 -> prefix {0.5, 0.25}
+    out = np.asarray(sample_filter(jnp.asarray(logp), top_p=0.6))
+    assert (out[0, :2] > -1e8).all() and (out[0, 2:] <= -1e8).all()
+    # top_p tiny: top-1 always survives
+    out = np.asarray(sample_filter(jnp.asarray(logp), top_p=1e-6))
+    assert out[0, 0] > -1e8 and (out[0, 1:] <= -1e8).all()
+    # temperature scales log-probs
+    out = np.asarray(sample_filter(jnp.asarray(logp), temperature=2.0))
+    np.testing.assert_allclose(out, logp / 2.0, rtol=1e-6)
+
+
+def test_sampled_decode_topk1_equals_greedy(model_setup):
+    """greedy=False with top_k=1 must reproduce the greedy tokens on both
+    decode loops (the argmax is the only sampling survivor)."""
+    model, params, feats, trg, masks = model_setup
+    masks_src = make_masks(feats, None, "audio_video", 1)
+    g_toks, _ = decode(model, params, feats, masks_src, 8, 2, 3, 1,
+                       greedy=True)
+    for fast in (True, False):
+        s_toks, _ = decode(model, params, feats, masks_src, 8, 2, 3, 1,
+                           greedy=False, rng=jax.random.PRNGKey(5),
+                           use_fast=fast, top_k=1)
+        np.testing.assert_array_equal(np.asarray(g_toks),
+                                      np.asarray(s_toks))
