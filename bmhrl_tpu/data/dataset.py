@@ -221,6 +221,7 @@ class Prefetcher:
         the mesh layout — without it arrays land on the default device."""
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
 
         def work():
             try:
@@ -235,6 +236,8 @@ class Prefetcher:
                                            if sharding is not None
                                            else jax.device_put(item[k]))
                     self.q.put(item)
+            except BaseException as e:  # surface loader errors, don't
+                self._error = e         # truncate the stream silently
             finally:
                 self.q.put(self._done)
 
@@ -245,5 +248,9 @@ class Prefetcher:
         while True:
             item = self.q.get()
             if item is self._done:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "Prefetcher source iterator failed"
+                    ) from self._error
                 return
             yield item

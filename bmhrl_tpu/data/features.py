@@ -14,12 +14,12 @@ def fill_missing_features(feature_size: int) -> np.ndarray:
     return np.zeros((1, feature_size), dtype=np.float32)
 
 
-def crop_a_segment(
-    feature: np.ndarray, start: float, end: float, duration: float
-) -> Optional[np.ndarray]:
-    """Proportional time-crop with the small-segment fix.
-    ref: load_features.py:14-34."""
-    S, _D = feature.shape
+def crop_span(S: int, start: float, end: float, duration: float
+              ) -> "tuple[int, int]":
+    """The proportional-crop slice indices (small-segment fix included) —
+    the single source of truth for crop_a_segment AND the serving
+    planner's header-only length computation (serve.plan_batches), so the
+    two can never drift. ref: load_features.py:14-34."""
     start_idx = int(S * (start / duration))
     end_idx = int(S * (end / duration))
     if start_idx == end_idx:
@@ -27,6 +27,16 @@ def crop_a_segment(
             start_idx -= 1
         else:
             end_idx += 1
+    return start_idx, end_idx
+
+
+def crop_a_segment(
+    feature: np.ndarray, start: float, end: float, duration: float
+) -> Optional[np.ndarray]:
+    """Proportional time-crop with the small-segment fix.
+    ref: load_features.py:14-34."""
+    S, _D = feature.shape
+    start_idx, end_idx = crop_span(S, start, end, duration)
     feature = feature[start_idx:end_idx, :]
     return None if len(feature) == 0 else feature
 

@@ -126,14 +126,17 @@ class ProposalDataset:
 
     def batches(self, epoch: int, batch_size: int, shuffle: bool = True,
                 seed: int = 0):
+        """Shuffled epochs drop the ragged tail (static shapes) — but a
+        dataset smaller than the batch size still yields its one (short)
+        batch rather than silently training on nothing."""
         idxs = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed * 100003 + epoch).shuffle(idxs)
-        for s in range(0, len(idxs) - batch_size + 1 if shuffle
-                       else len(idxs), batch_size):
-            chunk = idxs[s: s + batch_size].tolist()
-            if chunk:
-                yield self.make_batch(chunk)
+        batch_size = min(batch_size, len(idxs)) or 1
+        stop = (len(idxs) - (len(idxs) % batch_size) if shuffle
+                else len(idxs))
+        for s in range(0, stop, batch_size):
+            yield self.make_batch(idxs[s: s + batch_size].tolist())
 
     def anchor_targets(self, gt_segments: np.ndarray, duration: float,
                        grid: int = 64, iou_threshold: float = 0.5

@@ -84,19 +84,30 @@ class ServeStats:
         }
 
 
-def read_proposals_json(path: str) -> List[ClipRequest]:
+def read_proposals_json(path: str,
+                        durations: Optional[Dict[str, float]] = None
+                        ) -> List[ClipRequest]:
     """ANet-format proposals: {vid: {duration, timestamps: [[s, e], ...]}}
     — the same schema as the reference's val JSONs (data/*_no_missings.json)
-    and learned-proposal submissions."""
+    and learned-proposal outputs.
+
+    Submission-style wrappers ({"results": {vid: [{timestamp}, ...]}})
+    carry NO video duration, which the proportional feature crop
+    (data/features.crop_a_segment) requires — pass ``durations``
+    ({vid: seconds}, e.g. from the GT reference JSON). Guessing it from
+    the proposals' max end would silently mis-crop every feature."""
     with open(path) as f:
         data = json.load(f)
     if "results" in data:  # submission-style wrapper
+        if durations is None:
+            raise ValueError(
+                f"{path} is a submission-style proposals file with no "
+                "video durations; supply durations= (CLI: "
+                "--durations_json, an ANet JSON or {vid: seconds} map)")
         data = {
-            vid: {
-                "duration": max(seg["timestamp"][1] for seg in segs),
-                "timestamps": [seg["timestamp"] for seg in segs],
-            }
-            for vid, segs in data["results"].items()
+            vid: {"duration": durations[vid],
+                  "timestamps": [seg["timestamp"] for seg in segs]}
+            for vid, segs in data["results"].items() if segs
         }
     reqs = []
     for vid, meta in data.items():
@@ -104,6 +115,15 @@ def read_proposals_json(path: str) -> List[ClipRequest]:
         for s, e in meta["timestamps"]:
             reqs.append(ClipRequest(vid, float(s), float(e), dur))
     return reqs
+
+
+def read_durations_json(path: str) -> Dict[str, float]:
+    """{vid: seconds} from either a plain map or an ANet-format JSON."""
+    with open(path) as f:
+        data = json.load(f)
+    return {vid: (float(meta["duration"]) if isinstance(meta, dict)
+                  else float(meta))
+            for vid, meta in data.items()}
 
 
 def read_meta_tsv(path: str) -> List[ClipRequest]:
@@ -129,18 +149,13 @@ def _npy_rows(path: str) -> Optional[int]:
 
 def _cropped_len(total: Optional[int], start: float, end: float,
                  duration: float) -> int:
-    """Post-crop length from the header row count — the exact arithmetic of
-    crop_a_segment (missing file => the 1-row zero fill)."""
+    """Post-crop length from the header row count — slice semantics of
+    crop_a_segment over the shared crop_span indices (missing file or
+    empty crop => the 1-row zero fill)."""
     if total is None or total == 0 or duration <= 0:
         return 1
-    s = int(total * (start / duration))
-    e = int(total * (end / duration))
-    if s == e:
-        if s == total:
-            s -= 1
-        else:
-            e += 1
-    return max(e - s, 1)
+    s, e = F.crop_span(total, start, end, duration)
+    return max(min(e, total) - min(max(s, 0), total), 1)
 
 
 def plan_batches(
@@ -155,14 +170,22 @@ def plan_batches(
     instead of riding a dataset-max (300, 800) batch. Within a bucket pair,
     order is preserved; the tail batch is row-padded by the caller."""
     buckets: Dict[Tuple[int, int], List[int]] = {}
+    rows_cache: Dict[str, Optional[int]] = {}  # many proposals per video:
+                                               # probe each header once
+
+    def probe(path: str) -> Optional[int]:
+        if path not in rows_cache:
+            rows_cache[path] = _npy_rows(path)
+        return rows_cache[path]
+
     for i, r in enumerate(reqs):
         vdir = r.video_dir or cfg.video_features_path
         adir = r.audio_dir or cfg.audio_features_path
         vlen = _cropped_len(
-            _npy_rows(os.path.join(vdir, f"{r.video_id}_rgb.npy")),
+            probe(os.path.join(vdir, f"{r.video_id}_rgb.npy")),
             r.start, r.end, r.duration)
         alen = _cropped_len(
-            _npy_rows(os.path.join(adir, f"{r.video_id}.npy")),
+            probe(os.path.join(adir, f"{r.video_id}.npy")),
             r.start, r.end, r.duration)
         vb = F.pick_bucket(min(vlen, cfg.pad_video_feats_up_to),
                            cfg.video_buckets)
@@ -212,15 +235,30 @@ class CaptionServer:
 
     def __init__(self, cfg: Config, model, params, itos: List[str],
                  mesh=None, beam_width: int = 1,
-                 length_penalty: float = 0.0):
+                 length_penalty: float = 0.0, sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 0.0, sample_seed: int = 0):
         self.cfg = cfg
         self.model = model
         self.itos = itos
         self.mesh = mesh
-        # beam_width > 1: beam-search decode (train/decode.beam_decode) —
-        # a serving quality knob the reference lacks (greedy only)
+        # beam_width > 1: beam-search decode (train/decode.beam_decode);
+        # sample: stochastic decode with temperature/top-k/nucleus
+        # shaping (train/decode.sample_filter) — serving knobs the
+        # reference lacks (it decodes greedily only)
         self.beam_width = int(beam_width)
         self.length_penalty = float(length_penalty)
+        self.sample = bool(sample)
+        if self.sample and self.beam_width > 1:
+            raise ValueError("choose sampling OR beam search, not both")
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self._sample_rng = None
+        if self.sample:
+            import jax
+
+            self._sample_rng = jax.random.PRNGKey(sample_seed)
         # AOT bundles compile fixed (B, vb, ab) shapes: tails pad to full B
         self._fixed_batch = False
         self._sharding = None
@@ -247,6 +285,15 @@ class CaptionServer:
                 self.model, self.params, feats, masks_src, self.cfg.max_len,
                 BOS, EOS, PAD, beam_width=self.beam_width,
                 length_penalty=self.length_penalty)
+        elif self.sample:
+            import jax
+
+            self._sample_rng, sub = jax.random.split(self._sample_rng)
+            tokens, _ = decode(self.model, self.params, feats, masks_src,
+                               self.cfg.max_len, BOS, EOS, PAD,
+                               greedy=False, rng=sub,
+                               temperature=self.temperature,
+                               top_k=self.top_k, top_p=self.top_p)
         else:
             tokens, _ = decode(self.model, self.params, feats, masks_src,
                                self.cfg.max_len, BOS, EOS, PAD, greedy=True)

@@ -164,6 +164,15 @@ class ExportedCaptionServer(CaptionServer):
                          mesh=mesh)
         self._fixed_batch = True
         self._batch_sizes = sorted({s[0] for s in m["shapes"]})
+        if mesh is not None:
+            n = int(mesh.devices.shape[0])
+            bad = [b for b in self._batch_sizes if b % n]
+            if bad:
+                raise ValueError(
+                    f"bundle batch sizes {bad} are not divisible by the "
+                    f"mesh data axis ({n}); batches would pad to shapes "
+                    "with no exported blob — re-export with divisible "
+                    "batch sizes or serve on a matching mesh")
         self._calls = {}
         from jax import export as jexport
 

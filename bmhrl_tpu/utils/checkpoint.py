@@ -40,6 +40,38 @@ def load_checkpoint(ckpt_dir: str, abstract_state, name: str = "state"):
     return ckptr.restore(path, abstract_state)
 
 
+def load_model_params(ckpt_dir: str, abstract_params, name: str = "state"):
+    """Model variables ({"params": ...}) from a checkpoint dir that holds
+    EITHER a full TrainState (train/loop.py's save) or bare params.
+
+    An abstract-tree restore needs the checkpoint's exact topology, which
+    inference CLIs don't know (they have no value nets / optimizer state);
+    orbax restores WITHOUT an abstract tree into plain nested dicts, so we
+    take the topology from disk, extract ``cap_params``, and then verify
+    leaf shapes against ``abstract_params`` so dimension mismatches fail
+    loudly instead of at apply time."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    raw = ocp.StandardCheckpointer().restore(path)
+    params = raw.get("cap_params", raw) if isinstance(raw, dict) else raw
+    ref = jax.tree.leaves_with_path(abstract_params)
+    got = dict(jax.tree.leaves_with_path(params))
+    missing = [jax.tree_util.keystr(p) for p, _ in ref if p not in got]
+    if missing:
+        raise ValueError(
+            f"checkpoint {path} is missing {len(missing)} model params "
+            f"(first: {missing[:3]}); is this a checkpoint for this "
+            f"model/mode?")
+    for p, leaf in ref:
+        if tuple(np.shape(got[p])) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"checkpoint {path}: shape mismatch at "
+                f"{jax.tree_util.keystr(p)}: {np.shape(got[p])} vs model "
+                f"{np.shape(leaf)}")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # torch interop
 # ---------------------------------------------------------------------------

@@ -23,6 +23,10 @@ def main(argv=None):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--proposals", help="ANet-format proposals JSON")
     src.add_argument("--meta", help="reference meta TSV (captions ignored)")
+    p.add_argument("--durations_json", default=None,
+                   help="video durations ({vid: seconds} or ANet JSON); "
+                        "required when --proposals is a submission-style "
+                        "file (those carry no durations)")
     p.add_argument("--video_features_path", required=True)
     p.add_argument("--audio_features_path", required=True)
     p.add_argument("--train_meta_path", default="./data/train.csv",
@@ -39,6 +43,14 @@ def main(argv=None):
                    help="beam-search width (1 = greedy); quality knob")
     p.add_argument("--length_penalty", type=float, default=0.0,
                    help="GNMT length-normalization exponent for beam rank")
+    p.add_argument("--sample", action="store_true", default=False,
+                   help="stochastic decode instead of greedy/beam")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0,
+                   help="sampling truncation: keep the k best tokens")
+    p.add_argument("--top_p", type=float, default=0.0,
+                   help="nucleus sampling mass (0 = off)")
+    p.add_argument("--sample_seed", type=int, default=0)
     p.add_argument("--max_len", type=int, default=30)
     p.add_argument("--mesh", type=int, default=1,
                    help="data-parallel mesh size (chips)")
@@ -67,12 +79,14 @@ def main(argv=None):
     from bmhrl_tpu.config import Config
     from bmhrl_tpu.data.vocab import BOS, PAD, build_vocab_from_tsv
     from bmhrl_tpu.ops.masking import make_masks
-    from bmhrl_tpu.serve import (CaptionServer, read_meta_tsv,
-                                 read_proposals_json)
+    from bmhrl_tpu.serve import (CaptionServer, read_durations_json,
+                                 read_meta_tsv, read_proposals_json)
     from bmhrl_tpu.train.loop import build_model
 
-    reqs = (read_proposals_json(args.proposals) if args.proposals
-            else read_meta_tsv(args.meta))
+    durations = (read_durations_json(args.durations_json)
+                 if args.durations_json else None)
+    reqs = (read_proposals_json(args.proposals, durations)
+            if args.proposals else read_meta_tsv(args.meta))
     print(f"{len(reqs)} clip requests")
 
     if args.from_bundle:
@@ -128,14 +142,11 @@ def main(argv=None):
             raise SystemExit(f"--torch_checkpoint unsupported for {args.mode}")
         params = {"params": importer(args.torch_checkpoint)}
     elif args.checkpoint_dir:
-        from bmhrl_tpu.utils.checkpoint import load_checkpoint
+        from bmhrl_tpu.utils.checkpoint import load_model_params
 
         abstract = jax.tree.map(np.asarray, params)
-        try:
-            params = load_checkpoint(args.checkpoint_dir, abstract,
-                                     name="state")["cap_params"]
-        except Exception:
-            params = load_checkpoint(args.checkpoint_dir, abstract)
+        params = load_model_params(args.checkpoint_dir, abstract)
+        print(f"restored {args.checkpoint_dir}")
 
     if args.export_bundle:
         from bmhrl_tpu.serve import plan_batches
@@ -157,7 +168,10 @@ def main(argv=None):
         mesh = mesh_lib.make_mesh(cfg.mesh_shape)
     server = CaptionServer(cfg, model, params, vocab.itos, mesh=mesh,
                            beam_width=args.beam_width,
-                           length_penalty=args.length_penalty)
+                           length_penalty=args.length_penalty,
+                           sample=args.sample, temperature=args.temperature,
+                           top_k=args.top_k, top_p=args.top_p,
+                           sample_seed=args.sample_seed)
     predictions, stats = server.caption(reqs, batch_size=args.batch_size,
                                         io_threads=args.io_threads)
     with open(args.out, "w") as f:

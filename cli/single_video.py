@@ -79,15 +79,11 @@ def main(argv=None):
         params = {"params": import_torch_bmhrl(args.torch_checkpoint)}
         print(f"imported torch checkpoint {args.torch_checkpoint}")
     elif args.checkpoint_dir:
-        from bmhrl_tpu.utils.checkpoint import load_checkpoint
+        from bmhrl_tpu.utils.checkpoint import load_model_params
 
         abstract = jax.tree.map(np.asarray, params)
         # checkpoints store the full TrainState; cap_params is the model
-        try:
-            params = load_checkpoint(args.checkpoint_dir, abstract,
-                                     name="state")["cap_params"]
-        except Exception:
-            params = load_checkpoint(args.checkpoint_dir, abstract)
+        params = load_model_params(args.checkpoint_dir, abstract)
         print(f"restored {args.checkpoint_dir}")
 
     masks_src = make_masks(feats, None, "audio_video", PAD)

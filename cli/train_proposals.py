@@ -135,6 +135,16 @@ def main(argv=None):
                  num_anchors=args.num_anchors,
                  d_vid=args.d_vid, d_aud=args.d_aud)
     train_ds = ProposalDataset(args.train_meta_path, **ds_kw)
+    if args.checkpoint_dir:
+        # anchors travel WITH the checkpoint: the head's length scales are
+        # meaningless against re-clustered anchors from a different meta
+        anchors_path = os.path.join(args.checkpoint_dir, "anchors.npy")
+        if os.path.exists(anchors_path):
+            train_ds.anchors = np.load(anchors_path)
+            print(f"anchors restored from {anchors_path}")
+        else:
+            print(f"WARNING: {anchors_path} missing; re-clustered anchors "
+                  "from --train_meta_path may not match the checkpoint")
     val_ds = ProposalDataset(args.val_meta_path, **ds_kw)
     val_ds.anchors = train_ds.anchors  # anchors belong to the train corpus
     model = MultimodalProposalGenerator(

@@ -71,6 +71,15 @@ def _synthetic_dataset(tmp_path, n_videos=6, seed=0):
     return ds, meta, vdir, adir
 
 
+def test_batches_smaller_dataset_than_batch_size(tmp_path):
+    """A dataset smaller than B must still yield one batch per epoch
+    (regression: training silently did nothing)."""
+    ds, *_ = _synthetic_dataset(tmp_path)
+    got = list(ds.batches(0, batch_size=64))
+    assert len(got) == 1
+    assert len(got[0]["video_ids"]) == len(ds)
+
+
 def test_model_contract_and_loss(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -82,9 +82,11 @@ def test_plan_batches_crop_math_matches_loader(feature_dirs):
     cfg = Config(video_features_path=str(vdir),
                  audio_features_path=str(adir), **TINY)
     # segment crop: 14 frames cropped to [2, 9.5]/10 -> int math in
-    # crop_a_segment; also a missing-file request (zero fill, length 1)
+    # crop_a_segment; a missing-file request (zero fill, length 1); and an
+    # out-of-range segment (end > duration: slice clamps, planner must too)
     reqs = [ClipRequest("s1", 2.0, 9.5, 10.0, str(vdir), str(adir)),
-            ClipRequest("nope", 0.0, 5.0, 10.0, str(vdir), str(adir))]
+            ClipRequest("nope", 0.0, 5.0, 10.0, str(vdir), str(adir)),
+            ClipRequest("s2", 8.0, 15.0, 10.0, str(vdir), str(adir))]
     plan = plan_batches(reqs, cfg, batch_size=4)
     for idxs, vb, ab in plan:
         for i in idxs:
@@ -226,12 +228,74 @@ def test_read_proposals_json(tmp_path):
     reqs = read_proposals_json(str(p))
     assert len(reqs) == 2
     assert reqs[0].video_id == "v_x" and reqs[1].start == 5.0
-    # submission-style wrapper round-trips too
+    # submission-style wrappers carry no durations: explicit ones required
+    # (guessing from max proposal end would mis-crop features)
     sub = {"results": {"v_x": [{"sentence": "s", "timestamp": [0.0, 4.0]}]}}
     p2 = tmp_path / "sub.json"
     p2.write_text(json.dumps(sub))
-    reqs2 = read_proposals_json(str(p2))
+    with pytest.raises(ValueError, match="durations"):
+        read_proposals_json(str(p2))
+    reqs2 = read_proposals_json(str(p2), durations={"v_x": 10.0})
     assert len(reqs2) == 1 and reqs2[0].end == 4.0
+    assert reqs2[0].duration == 10.0
+
+
+def test_prefetcher_propagates_loader_errors():
+    """A loader crash must raise at the consumer, not silently truncate
+    the batch stream (serving would emit null sentences and exit 0)."""
+    from bmhrl_tpu.data.dataset import Prefetcher
+
+    def bad_iter():
+        yield {"x": 1}
+        raise ValueError("corrupt npy")
+
+    it = iter(Prefetcher(bad_iter(), depth=2, to_device=False))
+    assert next(it) == {"x": 1}
+    with pytest.raises(RuntimeError, match="source iterator failed"):
+        next(it)
+
+
+def test_load_model_params_from_trainstate_checkpoint(tmp_path):
+    """Inference CLIs must load params out of a full-TrainState checkpoint
+    without knowing its topology (regression: the abstract-tree restore
+    raised on structure mismatch and the fallback repeated the same call)."""
+    import collections
+
+    from bmhrl_tpu.utils.checkpoint import load_model_params, save_checkpoint
+
+    TS = collections.namedtuple("TS", ["cap_params", "opt_state", "step"])
+    params = {"params": {"dense": {"kernel": np.ones((3, 2), np.float32)}}}
+    state = TS(params, {"mu": np.zeros(4, np.float32)}, np.int32(7))
+    save_checkpoint(str(tmp_path), state, name="state")
+    got = load_model_params(str(tmp_path), params)
+    np.testing.assert_array_equal(got["params"]["dense"]["kernel"],
+                                  params["params"]["dense"]["kernel"])
+    # shape mismatches fail loudly, not at apply time
+    bad = {"params": {"dense": {"kernel": np.ones((5, 2), np.float32)}}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_model_params(str(tmp_path), bad)
+    # bare-params checkpoints load too
+    save_checkpoint(str(tmp_path / "bare"), params, name="state")
+    got2 = load_model_params(str(tmp_path / "bare"), params)
+    np.testing.assert_array_equal(got2["params"]["dense"]["kernel"],
+                                  params["params"]["dense"]["kernel"])
+
+
+def test_caption_server_sampling(feature_dirs, train_tsv):
+    """Stochastic serving runs; sampling + beam together is rejected."""
+    root, vdir, adir = feature_dirs
+    cfg = Config(video_features_path=str(vdir),
+                 audio_features_path=str(adir), mesh_shape=(1, 1), **TINY)
+    server_g, vocab = _build_server(cfg, train_tsv)
+    server_s = CaptionServer(cfg, server_g.model, server_g.params,
+                             vocab.itos, sample=True, temperature=0.8,
+                             top_p=0.9, sample_seed=3)
+    reqs = _reqs(vdir, adir)[:2]
+    pred, stats = server_s.caption(reqs, batch_size=2)
+    assert stats.clips == 2
+    with pytest.raises(ValueError, match="not both"):
+        CaptionServer(cfg, server_g.model, server_g.params, vocab.itos,
+                      sample=True, beam_width=2)
 
 
 def test_read_meta_tsv(train_tsv):
