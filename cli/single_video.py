@@ -26,6 +26,9 @@ def main(argv=None):
                    help="reference bm_hrl_agent.pt to import instead")
     p.add_argument("--glove_path", default=None)
     p.add_argument("--max_len", type=int, default=30)
+    p.add_argument("--beam_width", type=int, default=1,
+                   help="beam-search width (1 = greedy)")
+    p.add_argument("--length_penalty", type=float, default=0.0)
     p.add_argument("--start", type=float, default=0.0)
     p.add_argument("--end", type=float, default=0.0, help="0 = full clip")
     p.add_argument("--duration", type=float, default=0.0)
@@ -87,8 +90,16 @@ def main(argv=None):
         print(f"restored {args.checkpoint_dir}")
 
     masks_src = make_masks(feats, None, "audio_video", PAD)
-    tokens, _ = decode(model, params, feats, masks_src, cfg.max_len,
-                       BOS, EOS, PAD, greedy=True)
+    if args.beam_width > 1:
+        from bmhrl_tpu.train.decode import beam_decode
+
+        tokens, _ = beam_decode(model, params, feats, masks_src,
+                                cfg.max_len, BOS, EOS, PAD,
+                                beam_width=args.beam_width,
+                                length_penalty=args.length_penalty)
+    else:
+        tokens, _ = decode(model, params, feats, masks_src, cfg.max_len,
+                           BOS, EOS, PAD, greedy=True)
     sentence = detokenize(np.asarray(tokens), vocab.itos)[0]
     print(sentence)
     return sentence
