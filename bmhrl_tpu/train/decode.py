@@ -159,13 +159,21 @@ def _decode_loop(
     return carry[1], carry[4]
 
 
-def _fast_setup(model, params, Va, Av, masks_src, B, L):
+def _fast_setup(model, params, Va, Av, masks_src, B, L, beam_share: int = 1):
     """Shared setup of the fully incremental decode step — used by the
     greedy/sampled loop (_decode_loop_fast) and the fast beam loop
     (_beam_loop_fast). Returns (caches0, valid0, step_fn, gather_caches)
     where ``step_fn(tok_t, t, caches, valid) -> (logits_t, caches)`` and
     ``gather_caches(caches, idx)`` reindexes every cache's batch rows
-    (beam-search parent gather). O(1) positions per token (KV-cached
+    (beam-search parent gather).
+
+    ``beam_share`` > 1 (bimodal folded-kernel path only): ``B`` counts
+    ROWS (clips x beams, clip-major) while ``Va/Av/masks_src`` stay at
+    CLIP level — the W beams of a clip fold into the query-group axis of
+    ops.attention.folded_attend, so each clip's raw memory streams from
+    HBM ONCE per step for all beams instead of W times (the dominant
+    token-loop traffic at serving batch; a repeated-memory beam pays W x).
+    O(1) positions per token (KV-cached
     self-attention, carried critic state, folded cross-attention over the
     raw encoder memories). Exact for exploration=False. Requires the model
     to expose ``FUSION_PARAM_KEYS`` (BMHrlAgent). TPU structure:
@@ -228,13 +236,16 @@ def _fast_setup(model, params, Va, Av, masks_src, B, L):
     if detr:
         use_folded_kernel = False
     elif bimodal:
-        maskA = masks_src["A_mask"][:, 0, :]  # (B, Sa) key-pad mask
+        maskA = masks_src["A_mask"][:, 0, :]  # (B_clips, Sa) key-pad mask
         maskV = masks_src["V_mask"][:, 0, :]
         use_folded_kernel = (
             fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
             and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
     else:
         use_folded_kernel = False
+    assert beam_share == 1 or (bimodal and use_folded_kernel), (
+        "beam_share needs the bimodal folded-kernel path (caller must "
+        "pre-check folded_qualifies and repeat memories otherwise)")
 
     def collapse(q2):  # (2, B, H, d) -> (B, 2H, d)
         return q2.transpose(1, 0, 2, 3).reshape(
@@ -260,10 +271,20 @@ def _fast_setup(model, params, Va, Av, masks_src, B, L):
 
             C2, qA2, qV2, cache_i = jax.vmap(one_pre)(
                 fus_params, c2, fcaches0[i])
-            ctxA = uncollapse(fused_ops.folded_attend(
-                collapse(qA2), mem["A"], maskA, att_scale))
-            ctxV = uncollapse(fused_ops.folded_attend(
-                collapse(qV2), mem["V"], maskV, att_scale))
+
+            def share_attend(q_rows, m, key_mask):
+                # (rows, G, d) -> (clips, beams*G, d): W beams of a clip
+                # share ONE HBM read of its memory (clip-major layout)
+                if beam_share == 1:
+                    return fused_ops.folded_attend(q_rows, m, key_mask,
+                                                   att_scale)
+                R, G, d_ = q_rows.shape
+                q_c = q_rows.reshape(R // beam_share, beam_share * G, d_)
+                ctx = fused_ops.folded_attend(q_c, m, key_mask, att_scale)
+                return ctx.reshape(R, G, d_)
+
+            ctxA = uncollapse(share_attend(collapse(qA2), mem["A"], maskA))
+            ctxV = uncollapse(share_attend(collapse(qV2), mem["V"], maskV))
 
             def post_i(m, C, ca, cv, _i=i):
                 return m.layers[_i].step_mem_post(C, ca, cv)
@@ -562,14 +583,25 @@ def _beam_loop_fast(model, params, Va, Av, masks_src, B, max_len,
     with every per-row cache (KV, critic RNN state, goal buffer, boundary
     flag, validity mask) gathered by parent beam each step
     (_fast_setup.gather_caches)."""
+    from bmhrl_tpu.ops import attention as fused_ops
+
     L = max_len + 1
-    rep = lambda x: jnp.repeat(x, W, axis=0)  # noqa: E731  clip-major
-    Va_b = jax.tree.map(rep, Va)
-    Av_b = jax.tree.map(rep, Av)
-    masks_b = {k: rep(v) for k, v in masks_src.items()}
     BW = B * W
-    caches0, valid0, step_fn, gather_caches = _fast_setup(
-        model, params, Va_b, Av_b, masks_b, BW, L)
+    share = (hasattr(type(model), "FUSION_PARAM_KEYS")
+             and fused_ops.folded_qualifies(Av.shape[1], Av.shape[2])
+             and fused_ops.folded_qualifies(Va.shape[1], Va.shape[2]))
+    if share:
+        # memories/masks stay at CLIP level: the folded kernel serves all
+        # W beams of a clip from ONE HBM read per step (see _fast_setup)
+        caches0, valid0, step_fn, gather_caches = _fast_setup(
+            model, params, Va, Av, masks_src, BW, L, beam_share=W)
+    else:
+        rep = lambda x: jnp.repeat(x, W, axis=0)  # noqa: E731  clip-major
+        Va_b = jax.tree.map(rep, Va)
+        Av_b = jax.tree.map(rep, Av)
+        masks_b = {k: rep(v) for k, v in masks_src.items()}
+        caches0, valid0, step_fn, gather_caches = _fast_setup(
+            model, params, Va_b, Av_b, masks_b, BW, L)
 
     NEG = jnp.float32(-1e9)
     trg0 = jnp.full((BW, L), pad_idx, jnp.int32).at[:, 0].set(start_idx)

@@ -215,6 +215,41 @@ def test_beam_fast_matches_full_buffer_unimodal():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_beam_share_memory_path_exact():
+    """At folded-kernel-qualifying dims (draw % 128 == 0, S >= 64) the
+    beam folds the beam axis into the kernel's query groups and reads
+    each clip's memory ONCE per step — must stay token-exact with the
+    full-buffer beam."""
+    from bmhrl_tpu.ops import attention as fused_ops
+
+    model = BMHrlAgent(
+        voc_size=24, d_video=128, d_audio=128, d_model=128, d_model_caps=16,
+        att_heads=2, att_layers=1, d_ff_v=32, d_ff_a=32, d_ff_c=16,
+        d_goal=8, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    feats = {
+        "rgb": jnp.asarray(rng.rand(2, 64, 128), jnp.float32),
+        "flow": jnp.asarray(rng.rand(2, 64, 128), jnp.float32),
+        "audio": jnp.asarray(rng.rand(2, 64, 128), jnp.float32),
+    }
+    trg0 = jnp.full((2, 4), PAD, jnp.int32).at[:, 0].set(BOS)
+    masks0 = make_masks(feats, trg0, "audio_video", PAD)
+    k = jax.random.PRNGKey(4)
+    params = jax.jit(model.init)(
+        {"params": k, "dropout": k, "noise": k},
+        (feats["rgb"] + feats["flow"], feats["audio"]), trg0, masks0)
+    masks_src = make_masks(feats, None, "audio_video", PAD)
+    # the share path must actually engage at these dims
+    assert fused_ops.folded_qualifies(64, 128)
+    toks_f, s_f = beam_decode(model, params, feats, masks_src, 5,
+                              BOS, EOS, PAD, beam_width=2, use_fast=True)
+    toks_s, s_s = beam_decode(model, params, feats, masks_src, 5,
+                              BOS, EOS, PAD, beam_width=2, use_fast=False)
+    np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_s))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_beam_score_is_sum_of_token_logprobs(setup):
     """The winning beam's reported score must equal the sum of its tokens'
     log-probs under teacher forcing of that same sequence."""

@@ -2,14 +2,16 @@
 
 Measured (v5e via axon tunnel, 2026-08-18, flash ON, Sv=128/Sa=256,
 30-token decode):
-  B=256 greedy              :   90 ms/batch -> 2836 clips/s
-  B=256 beam W=4 fast       :  295 ms/batch ->  868 clips/s
-  B=256 beam W=4 full-buffer: 1005 ms/batch ->  255 clips/s
-The incremental beam costs 3.3x greedy (sub-linear in W=4: the encoder
-runs once and the folded memory reads amortize over beams) and is 3.4x
-faster than the full-buffer beam — the per-step cache-reindex gathers
-are far cheaper than re-running the fusion stacks over the whole buffer
-every token.
+  B=256 greedy              :  80-90 ms/batch -> 2840-3220 clips/s
+  B=256 beam W=4 fast       :    253 ms/batch ->  1012 clips/s
+    (295 ms before beam-share: the beam axis now folds into the folded
+     kernel's query groups, so each clip's raw memory streams from HBM
+     once per step for all W beams instead of W times)
+  B=256 beam W=4 full-buffer:   1001 ms/batch ->   256 clips/s
+The incremental beam costs ~3.2x greedy (sub-linear in W=4: encoder once,
+memory reads shared across beams) and is ~4x faster than the full-buffer
+beam — per-step cache-reindex gathers are far cheaper than re-running
+the fusion stacks over the whole buffer every token.
 """
 import os
 import sys
