@@ -139,6 +139,9 @@ class Config:
     # length_penalty is the GNMT normalization exponent for beam ranking
     beam_width: int = 1
     length_penalty: float = 0.0
+    # preemption-safe continuation: restore the newest E_{n} checkpoint
+    # under log_dir and continue at epoch n+1 (data order is epoch-seeded)
+    auto_resume: bool = False
     use_pallas_attention: bool = True
     # fused encoder-layer Pallas ops (LN+QKV / epilogue+FFN single passes;
     # deterministic forward only). Default OFF until the on-chip A/B

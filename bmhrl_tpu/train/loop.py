@@ -134,6 +134,29 @@ def eval_model(cfg: Config, sf: StepFactory, state: TrainState,
     return avg
 
 
+def find_latest_checkpoint(log_dir: str):
+    """Newest ``.../checkpoints/E_{n}`` under ``log_dir``'s run dirs (by
+    run-dir mtime, then by highest epoch). Returns (path, n) or None."""
+    import glob
+
+    if not log_dir or not os.path.isdir(log_dir):
+        return None
+    candidates = []
+    for d in glob.glob(os.path.join(log_dir, "**", "checkpoints", "E_*"),
+                       recursive=True):
+        name = os.path.basename(d)
+        try:
+            epoch = int(name.split("_", 1)[1])
+        except ValueError:
+            continue
+        if os.path.isdir(d):
+            candidates.append((os.path.getmtime(d), epoch, d))
+    if not candidates:
+        return None
+    _, epoch, d = max(candidates)
+    return d, epoch
+
+
 def reference_json_for(cfg: Config, phase: str) -> Optional[str]:
     """Phase -> reference JSON routing. ref: validation_loops.py:34-49."""
     idx = {"val_1": 0, "val_2": 1, "vatex_val": 2, "msrvtt_val": 3}.get(phase)
@@ -230,11 +253,28 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
             cap_params=install_critic(state.cap_params, cfg.rl_critic_path))
         log_stderr(f"loaded critic: {cfg.rl_critic_path}")
     # checkpoint restore (ref: train_rl_captioning_module.py:101-105)
+    start_epoch = 0
     if cfg.rl_pretrained_model_dir:
         abstract = jax.tree.map(np.asarray, state)
         state = load_checkpoint(cfg.rl_pretrained_model_dir, abstract)
         state = jax.tree.map(jnp.asarray, state)
         log_stderr(f"restored from {cfg.rl_pretrained_model_dir}")
+    elif getattr(cfg, "auto_resume", False):
+        # preemption-safe continuation (SURVEY §5.3): find the newest
+        # E_{n} checkpoint under log_dir's run dirs and continue at n+1 —
+        # data order is epoch-seeded, so the stream resumes deterministically
+        found = find_latest_checkpoint(cfg.log_dir)
+        if found is not None:
+            ckpt_dir, ckpt_epoch = found
+            abstract = jax.tree.map(np.asarray, state)
+            state = load_checkpoint(ckpt_dir, abstract)
+            state = jax.tree.map(jnp.asarray, state)
+            start_epoch = ckpt_epoch + 1
+            log_stderr(f"auto-resume: restored {ckpt_dir}, "
+                       f"continuing at epoch {start_epoch}")
+        else:
+            log_stderr("auto-resume: no prior checkpoint found; "
+                       "starting fresh")
 
     n_params = sum(x.size for x in jax.tree.leaves(state.cap_params))
     print(f"Total Number of Parameters: {n_params / 1e6:.2f} Mil.")
@@ -266,8 +306,15 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
 
     best_metric = 0.0
     epochs_unchanged = 0
-    is_warmstart = cfg.rl_warmstart_epochs > 0
-    train_worker = cfg.rl_train_worker
+    # warmstart/alternation state at start_epoch (resume lands mid-schedule).
+    # Closed forms of the loop's own recurrences: the warmstart flag turns
+    # off at the END of epoch ws (the reference's off-by-one switch,
+    # ref :188-194/:244-246 — epochs 0..ws inclusive run warmstart), and
+    # train_worker flips at the end of every epoch (ref :247).
+    is_warmstart = (cfg.rl_warmstart_epochs > 0
+                    and start_epoch <= cfg.rl_warmstart_epochs)
+    train_worker = (cfg.rl_train_worker if start_epoch % 2 == 0
+                    else not cfg.rl_train_worker)
     scheduler = (ReduceLROnPlateau() if cfg.scheduler == "reduce_on_plateau"
                  else None)
     lr_scale = 1.0
@@ -281,7 +328,7 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
         _prof.start_trace(cfg.profile_dir)
         profiling = True
 
-    for epoch in range(cfg.epoch_num):
+    for epoch in range(start_epoch, cfg.epoch_num):
         if epochs_unchanged == cfg.early_stop_after:
             break
         t0 = time.time()
@@ -453,4 +500,5 @@ def train_rl_cap(cfg: Config, max_steps_per_epoch: Optional[int] = None):
         train_worker = not train_worker  # ref :247
 
     logger.close()
-    return {"best_metric": best_metric, "state": state}
+    return {"best_metric": best_metric, "state": state,
+            "start_epoch": start_epoch}

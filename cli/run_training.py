@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace dir (first epoch)")
+    p.add_argument("--auto_resume", action="store_true", default=False,
+                   help="restore the newest E_{n} checkpoint under "
+                        "--log_dir and continue at epoch n+1 "
+                        "(preemption-safe; data order is epoch-seeded)")
     p.add_argument("--beam_width", type=int, default=1,
                    help="eval-decode beam width (1 = greedy like the "
                         "reference); quality knob for validation/eval mode")

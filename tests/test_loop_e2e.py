@@ -141,3 +141,36 @@ def test_eval_learned_props(tiny_data):
     # full sweep averages include captioning + detection metrics
     for m in ("METEOR", "Precision", "Recall"):
         assert m in lp and np.isfinite(lp[m])
+
+
+def test_auto_resume_continues_from_latest_checkpoint(tiny_data):
+    """--auto_resume restores the newest E_{n} under log_dir and continues
+    at epoch n+1 with the alternation/warmstart schedule re-derived."""
+    import glob
+
+    common = dict(
+        train_meta_path=str(tiny_data["train"]),
+        val_1_meta_path=str(tiny_data["val"]),
+        vatex_meta_path="/nonexistent", msrvtt_meta_path="/nonexistent",
+        video_features_path=str(tiny_data["vdir"]),
+        audio_features_path=str(tiny_data["adir"]),
+        reference_paths=(str(tiny_data["gt"]),) * 4,
+        rl_critic_path="/nonexistent",
+        B=4, mesh_shape=(1, 1), rl_warmstart_epochs=1,
+        one_by_one_starts_at=100, early_stop_after=30,
+        d_model=32, d_model_caps=16, rl_att_heads=2, rl_att_layers=1,
+        rl_ff_c=32, rl_ff_v=32, rl_ff_a=16, rl_goal_d=8,
+        max_len=12, caption_buckets=(16,), video_buckets=(16,),
+        audio_buckets=(64,), compute_dtype="float32", seed=0,
+        log_dir=str(tiny_data["root"] / "log_resume"))
+    cfg1 = Config(epoch_num=3, **common)
+    out1 = train_rl_cap(cfg1, max_steps_per_epoch=1)
+    assert out1["start_epoch"] == 0
+    # periodic checkpoints E_0, E_2 exist under the run dir
+    ckpts = glob.glob(os.path.join(cfg1.log_dir, "**", "checkpoints", "E_*"),
+                      recursive=True)
+    assert any(c.endswith("E_2") for c in ckpts), ckpts
+
+    cfg2 = Config(epoch_num=5, auto_resume=True, **common)
+    out2 = train_rl_cap(cfg2, max_steps_per_epoch=1)
+    assert out2["start_epoch"] == 3  # newest is E_2 -> continue at 3
