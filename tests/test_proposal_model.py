@@ -198,3 +198,60 @@ def test_train_proposals_cli_and_learned_props_integration(tmp_path):
     cap_ds = CaptioningDataset(cfg, "learned_props")
     b = next(cap_ds.batches(0, shuffle=False, drop_last=False))
     assert b["rgb"].shape[0] >= 1 and b["rgb"].shape[2] == 16
+
+
+def test_dense_caption_cli_end_to_end(tmp_path):
+    """Full dense-captioning orchestration: train a tiny proposal model,
+    then one command from features to {timestamp, sentence,
+    proposal_score} segments."""
+    from cli.dense_caption import main as dense_main
+    from cli.train_proposals import main as props_main
+
+    ds, meta, vdir, adir = _synthetic_dataset(tmp_path)
+    log_dir = tmp_path / "plog"
+    props_main([
+        "--train_meta_path", str(meta), "--val_meta_path", str(meta),
+        "--video_features_path", str(vdir),
+        "--audio_features_path", str(adir),
+        "--log_dir", str(log_dir), "--B", "6", "--epochs", "1",
+        "--num_anchors", "3", "--d_vid", "16", "--d_aud", "8",
+        "--d_model", "16", "--d_model_aud", "8", "--att_heads", "2",
+        "--att_layers", "1", "--d_ff_v", "16", "--d_ff_a", "8",
+        "--pad_video_to", "32", "--pad_audio_to", "64",
+        "--compute_dtype", "float32",
+    ])
+    durs = {v: ds.videos[v]["duration"] for v in ds.video_ids[:3]}
+    dpath = tmp_path / "durs.json"
+    dpath.write_text(json.dumps(durs))
+    # caption-side vocab needs a train TSV (captions present in meta)
+    out = tmp_path / "dense.json"
+    cap_overrides = dict(
+        d_vid=16, d_aud=8, d_model=16, d_model_caps=12, rl_att_heads=2,
+        rl_att_layers=1, rl_ff_c=16, rl_ff_v=16, rl_ff_a=8, rl_goal_d=8,
+        rl_critic_path="/nonexistent", video_buckets=[32],
+        audio_buckets=[64], caption_buckets=[16])
+    preds = dense_main([
+        "--durations_json", str(dpath),
+        "--video_features_path", str(vdir),
+        "--audio_features_path", str(adir),
+        "--proposal_checkpoint", str(log_dir),
+        "--train_meta_path", str(meta),
+        "--prop_d_model", "16", "--prop_d_model_aud", "8",
+        "--prop_att_heads", "2", "--prop_att_layers", "1",
+        "--prop_d_ff_v", "16", "--prop_d_ff_a", "8",
+        "--d_vid", "16", "--d_aud", "8",
+        "--pad_video_to", "32", "--pad_audio_to", "64",
+        "--max_props", "3", "--batch_size", "4", "--max_len", "8",
+        "--compute_dtype", "float32",
+        "--config_json", json.dumps(cap_overrides),
+        "--out", str(out),
+    ])
+    saved = json.loads(out.read_text())
+    assert set(saved["results"]) == set(durs)
+    for vid, segs in saved["results"].items():
+        assert 1 <= len(segs) <= 3
+        for seg in segs:
+            assert isinstance(seg["sentence"], str)
+            assert "proposal_score" in seg
+            s, e = seg["timestamp"]
+            assert 0.0 <= s < e <= durs[vid] + 1e-6
