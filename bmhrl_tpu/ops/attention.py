@@ -28,7 +28,8 @@ plain XLA attention inside _flash_bsd_call; short sources (< MIN_SK keys)
 never enter the kernel at all. The key floor dropped 256 -> 128 after a
 second A/B on the re-tiled grid (see MIN_SK below): letting the Sv=128
 attention sites into the kernel took the B=1024 encoder forward
-114 -> 103 ms (1.34x vs XLA).
+114 -> 103 ms (1.34x vs XLA). A VMEM-budget sweep then took it to
+95 ms (1.45x) at a 14 MB budget — see _VMEM_BUDGET.
 
 Numerics match models/attention.scaled_dot_attention exactly: scale by
 1/sqrt(d_k), additive -1e9 where the (B, Sk) key mask is False, optional
@@ -128,7 +129,16 @@ def _flash_bsd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bq: int,
 # per-program VMEM budget for picking the (batch, query) tile. v5e scoped
 # VMEM is 16 MB; the estimate below counts double-buffered input/output
 # blocks explicitly, so the budget can sit close to the hardware limit.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Swept on-chip (tools/flash_ab.py, 2026-08-19, encoder fwd vs XLA):
+#   budget    B=1024 Sv=128/Sa=256   B=256 Sv=300/Sa=800
+#   10 MB        103.4 ms               112.3 ms
+#   12 MB         96.8                  108.9
+#   14 MB         95.1 (1.45x XLA)      107.4 (1.68x)   <- default
+#   15 MB         94.8                  115.2 (regresses: long-source
+#                                        K/V blocks crowd the scratch)
+# 14 MB also wins/ties at B=32 and B=256 standard shapes (6.1/28.6 ms).
+# Env-overridable for A/B.
+_VMEM_BUDGET = int(os.environ.get("BMHRL_FLASH_VMEM_MB", "14")) * 1024 * 1024
 
 
 def _vmem_estimate(bt: int, bq: int, Sk_pad: int, HD: int,
