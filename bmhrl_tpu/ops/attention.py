@@ -165,6 +165,180 @@ def _pick_tiles(B: int, Sq_pad: int, Sk_pad: int, HD: int, itemsize: int,
     return None
 
 
+# --- K/V-streaming (online-softmax) variant -------------------------------
+#
+# The one-pass kernel holds the FULL padded key range in VMEM per program,
+# which caps the batch tile hard at long sources: at the dataset-max shapes
+# (Sv=300, Sa=800, HD=1024) the video->audio cross-attention's K/V blocks
+# cost 7.3 MB double-buffered PER batch row, so the picker lands on bt=1
+# and MXU occupancy with it. Streaming adds an innermost Sk-block grid axis
+# with flash-style online softmax (running max m, normalizer l and an f32
+# context accumulator carried in scratch across k-blocks), shrinking K/V
+# residency to one (bt, sk, HD) block and freeing VMEM for larger batch
+# tiles (bt=1 -> 4 at the site above). The cost is K/V re-reads: every
+# q-tile streams the full key range again, so `auto` mode only picks the
+# streaming kernel when it strictly raises bt over the one-pass pick (or
+# when one-pass fits nothing). Measured (tools/flash_site_ab.py, v5e,
+# 2026-08-19, isolated site one-pass -> stream):
+#   B=256 Sq=300 Sk=800 HD=1024:  14.8 ->  10.7 ms (1.38x; bt 1 -> 4)
+#   B=256 Sq=800 Sk=800 HD=1024:  35.5 ->  27.6 ms (1.29x; bt 1 -> 4)
+#   B=256 Sq=300 Sk=300 HD=1024:   5.53 ->  5.54 ms (wash; bt 4 -> 8)
+#   B=1024 Sq=128 Sk=256 HD=1024: non-qualifying (one-pass bt already max)
+# Encoder forward at the dataset-max serving shape (flash one-pass ->
+# +stream, tools/flash_ab.py): B=256 Sv=300/Sa=800: 107.3 -> 101.5 ms;
+# B=32: 14.2 -> 13.9 ms; headline B=1024 Sv=128/Sa=256 unchanged (no site
+# qualifies). The `auto` gate (bt must strictly improve) is therefore the
+# default; BMHRL_FLASH_STREAM=on/off force it for A/B.
+_STREAM_MODE = os.environ.get("BMHRL_FLASH_STREAM", "auto")
+
+
+def set_stream_mode(mode: str) -> None:
+    """'auto' (default: stream only when it raises the batch tile),
+    'on' (stream whenever a streaming tiling fits), 'off'."""
+    global _STREAM_MODE
+    _STREAM_MODE = mode
+
+
+def _stream_vmem_estimate(bt: int, bq: int, sk: int, HD: int,
+                          itemsize: int) -> int:
+    return (2 * 2 * bt * bq * HD * itemsize    # q + o, double-buffered
+            + 2 * 2 * bt * sk * HD * itemsize  # k + v blocks, double-buffered
+            + bt * bq * sk * 4 * 2             # s + p, f32, one head
+            + bt * bq * HD * 4)                # f32 context accumulator
+
+
+def _pick_stream_tiles(B: int, Sq_pad: int, Sk_pad: int, HD: int,
+                       itemsize: int, sq_align: int):
+    """Largest (bt, bq, sk) for the streaming kernel: bt first (the whole
+    point is raising it), then bq (the MXU's M dim), then the k-block.
+    Only k-blocks that actually split the key range qualify (one block ==
+    the one-pass kernel with extra scratch)."""
+    for bt in (16, 8, 4, 2, 1):
+        if bt > max(B, 1):
+            continue
+        for bq in (256, 128, 64, 32, 16, 8):
+            if bq > Sq_pad or bq % sq_align:
+                continue
+            for sk in (512, 256, 128):
+                if sk >= Sk_pad:
+                    continue
+                if _stream_vmem_estimate(bt, bq, sk, HD,
+                                         itemsize) <= _VMEM_BUDGET:
+                    return bt, bq, sk
+    return None
+
+
+def _flash_stream_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref,
+                         m_ref, l_ref, *, bq: int, sk: int, H: int,
+                         scale: float, causal: bool, nk: int):
+    """One (batch-tile, q-tile, k-block) program step of online-softmax
+    flash. Scratch persists across the innermost k-block axis: acc_ref
+    (bt, bq, H*d) f32 unnormalized context, m_ref/l_ref (H, bt, bq) f32
+    running max / normalizer per head. Initialized at k-block 0, finalized
+    (normalize + cast) at k-block nk-1. Fully-masked rows reproduce the
+    one-pass kernel exactly: m stays NEG_INF, every p == 1, so the output
+    is the mean of V over the padded key range."""
+    from jax.experimental import pallas as pl
+
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    mask = mask_ref[:] > 0  # (bt, 1, sk), broadcasts over queries
+    d = q_ref.shape[2] // H
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (bt, bq, sk) f32
+        s = jnp.where(mask, s, NEG_INF)
+        if causal:
+            q0 = pl.program_id(1) * bq
+            k0 = kb * sk
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, sk), 0) + q0
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, sk), 1) + k0
+            s = jnp.where((k_pos <= q_pos)[None], s, NEG_INF)
+        m_prev = m_ref[h]                                  # (bt, bq)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        corr = jnp.exp(m_prev - m_new)                     # (bt, bq)
+        p = jnp.exp(s - m_new[..., None])                  # (bt, bq, sk)
+        l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1)
+        m_ref[h] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (bt, bq, d)
+        if nk > 1:
+            acc_prev = jnp.where(kb == 0, 0.0, acc_ref[:, :, sl])
+            acc_ref[:, :, sl] = acc_prev * corr[..., None] + pv
+        else:
+            acc_ref[:, :, sl] = pv
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            o = acc_ref[:, :, sl] / jnp.maximum(l_ref[h][..., None], 1e-30)
+            o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _flash_stream_call(q, k, v, mask, H: int, causal: bool,
+                       tiles) -> jnp.ndarray:
+    """Streaming-kernel launch; same contract as the one-pass branch of
+    _flash_bsd_call. tiles = (bt, bq, sk) from _pick_stream_tiles."""
+    from jax.experimental import pallas as pl
+
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    d = HD // H
+    bt, bq, sk = tiles
+    Sq_pad = _ceil_to(Sq, bq)
+    Sk_pad = _ceil_to(Sk, sk)
+    Bp = _ceil_to(B, bt)
+    q = jnp.pad(q, ((0, Bp - B), (0, Sq_pad - Sq), (0, 0)))
+    k = jnp.pad(k, ((0, Bp - B), (0, Sk_pad - Sk), (0, 0)))
+    v = jnp.pad(v, ((0, Bp - B), (0, Sk_pad - Sk), (0, 0)))
+    mask = jnp.pad(mask, ((0, Bp - B), (0, Sk_pad - Sk)))
+
+    scale = 1.0 / float(np.sqrt(d))
+    nk = Sk_pad // sk
+    grid = (Bp // bt, Sq_pad // bq, nk)
+    kernel = functools.partial(_flash_stream_kernel, bq=bq, sk=sk, H=H,
+                               scale=scale, causal=causal, nk=nk)
+
+    interpret = jax.default_backend() != "tpu"
+    kwargs = {}
+    from jax.experimental.pallas import tpu as pltpu
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bq, HD), lambda b, i, kb: (b, i, 0)),
+            pl.BlockSpec((bt, sk, HD), lambda b, i, kb: (b, kb, 0)),
+            pl.BlockSpec((bt, sk, HD), lambda b, i, kb: (b, kb, 0)),
+            pl.BlockSpec((bt, 1, sk), lambda b, i, kb: (b, 0, kb)),
+        ],
+        out_specs=pl.BlockSpec((bt, bq, HD), lambda b, i, kb: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sq_pad, HD), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, bq, HD), jnp.float32),
+            pltpu.VMEM((H, bt, bq), jnp.float32),
+            pltpu.VMEM((H, bt, bq), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v, mask[:, None, :].astype(jnp.int32))
+    return out[:B, :Sq]
+
+
 def _flash_bsd_call(q, k, v, mask, H: int, causal: bool):
     """q,k,v: (B, S, H*d) un-headed projections; mask: (B, Sk) int32.
     Returns (B, Sq, H*d) in q's dtype."""
@@ -177,6 +351,13 @@ def _flash_bsd_call(q, k, v, mask, H: int, causal: bool):
     Sq_pad = _ceil_to(Sq, sq_align)
     Sk_pad = _ceil_to(Sk, 128)
     tiles = _pick_tiles(B, Sq_pad, Sk_pad, HD, q.dtype.itemsize, sq_align)
+    if _STREAM_MODE != "off":
+        stiles = _pick_stream_tiles(B, Sq_pad, Sk_pad, HD, q.dtype.itemsize,
+                                    sq_align)
+        if stiles is not None and (
+                tiles is None or _STREAM_MODE == "on"
+                or stiles[0] > tiles[0]):
+            return _flash_stream_call(q, k, v, mask, H, causal, stiles)
     if tiles is None:
         # shape too large for any tile config: plain XLA attention
         m4 = (mask > 0)[:, None, None, :]

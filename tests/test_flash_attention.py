@@ -55,6 +55,94 @@ def test_qualify_gate():
     assert not fused.flash_qualifies(31, 512, 256)
 
 
+class TestStreamingKernel:
+    """K/V-streaming (online-softmax) flash variant: parity with the
+    one-pass kernel / XLA path, and the auto-dispatch gate."""
+
+    def _bsd(self, rng, B, Sq, Sk, HD, qscale=0.2):
+        # qscale keeps logits O(1): with raw randn the logit std is
+        # ~sqrt(d)=11 and any f32 score noise is exponentially amplified
+        # near-tied keys (measured ~1e-3 on ALL paths incl. pure XLA vs a
+        # float64 oracle) — that tests the data, not the kernel.
+        q = jnp.asarray(rng.randn(B, Sq, HD) * qscale, jnp.float32)
+        k = jnp.asarray(rng.randn(B, Sk, HD), jnp.float32)
+        v = jnp.asarray(rng.randn(B, Sk, HD), jnp.float32)
+        return q, k, v
+
+    def _xla_ref(self, q, k, v, mask, H, causal=False):
+        m4 = None if mask is None else (mask > 0)[:, None, None, :]
+        p = fused._xla_attention_probs(
+            fused._heads_of(q, H), fused._heads_of(k, H), m4, causal)
+        return np.asarray(fused._unheads(
+            jnp.einsum("bhqk,bhkd->bhqd", p, fused._heads_of(v, H))))
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_stream_matches_xla(self, causal):
+        rng = np.random.RandomState(0)
+        B, Sq, Sk, H, HD = 2, 16, 300, 2, 256
+        q, k, v = self._bsd(rng, B, Sq, Sk, HD)
+        mask = np.ones((B, Sk), np.int32)
+        mask[1, 250:] = 0
+        mask = jnp.asarray(mask)
+        stiles = fused._pick_stream_tiles(B, 16, 384, HD, 4, 8)
+        assert stiles is not None
+        got = np.asarray(fused._flash_stream_call(q, k, v, mask, H, causal,
+                                                  stiles))
+        want = self._xla_ref(q, k, v, mask, H, causal)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_stream_matches_one_pass_on_hot_logits(self):
+        """Unscaled logits (std ~11): both kernels must stay within the
+        inherent f32 exponential-amplification band of each other."""
+        rng = np.random.RandomState(1)
+        B, Sq, Sk, H, HD = 2, 16, 300, 2, 256
+        q, k, v = self._bsd(rng, B, Sq, Sk, HD, qscale=1.0)
+        mask = jnp.ones((B, Sk), jnp.int32)
+        old = fused._STREAM_MODE
+        try:
+            fused._STREAM_MODE = "off"
+            one = np.asarray(fused._flash_bsd_call(q, k, v, mask, H, False))
+            fused._STREAM_MODE = "on"
+            st = np.asarray(fused._flash_bsd_call(q, k, v, mask, H, False))
+        finally:
+            fused._STREAM_MODE = old
+        np.testing.assert_allclose(st, one, rtol=2e-3, atol=2e-3)
+
+    def test_fully_masked_rows_match_one_pass(self):
+        """Rows with zero valid keys: both kernels emit the mean of V over
+        the padded key range (the XLA path's uniform-softmax convention)."""
+        rng = np.random.RandomState(2)
+        B, Sq, Sk, H, HD = 2, 8, 300, 2, 256
+        q, k, v = self._bsd(rng, B, Sq, Sk, HD)
+        mask = jnp.asarray(
+            np.stack([np.ones(Sk), np.zeros(Sk)]).astype(np.int32))
+        stiles = fused._pick_stream_tiles(B, 8, 384, HD, 4, 8)
+        got = np.asarray(fused._flash_stream_call(q, k, v, mask, H, False,
+                                                  stiles))
+        old = fused._STREAM_MODE
+        try:
+            fused._STREAM_MODE = "off"
+            one = np.asarray(fused._flash_bsd_call(q, k, v, mask, H, False))
+        finally:
+            fused._STREAM_MODE = old
+        np.testing.assert_allclose(got, one, rtol=2e-4, atol=2e-4)
+
+    def test_auto_gate_requires_bt_improvement(self):
+        """auto streams only where it raises the batch tile over one-pass:
+        the long-source cross-attention qualifies, the headline shapes
+        don't (HD=1024, bf16 -> itemsize 2)."""
+        # vid<-aud at dataset max: one-pass bt=1, streaming must beat it
+        t = fused._pick_tiles(256, 304, 896, 1024, 2, 16)
+        s = fused._pick_stream_tiles(256, 304, 896, 1024, 2, 16)
+        assert t is not None and s is not None and s[0] > t[0]
+        # headline shape: one-pass already at a healthy bt; no k-block
+        # splits a 256-key range better than one-pass uses it
+        t = fused._pick_tiles(1024, 128, 256, 1024, 2, 16)
+        s = fused._pick_stream_tiles(1024, 128, 256, 1024, 2, 16)
+        assert t is not None and t[0] >= 4
+        assert s is None or s[0] <= t[0]
+
+
 def test_mha_module_uses_flash_consistently():
     """MHA output with flash on == flash off (same params, eval mode)."""
     from bmhrl_tpu.models.attention import MultiheadedAttention
