@@ -33,7 +33,13 @@ attention sites into the kernel took the B=1024 encoder forward
 
 Numerics match models/attention.scaled_dot_attention exactly: scale by
 1/sqrt(d_k), additive -1e9 where the (B, Sk) key mask is False, optional
-causal tril, f32 scores/accumulation, dtype-preserving I/O.
+causal tril, f32 scores/accumulation, dtype-preserving I/O. This includes
+fully-masked rows (zero-filled missing features, ref convention at
+model/multihead_attention.py:17-22 + load_features.py:278-284): softmax
+probabilities are zeroed on kernel-padding key columns, so degenerate rows
+normalize by the ACTUAL key count — mean(V) over the real key range, the
+same value the XLA/torch uniform-softmax-over--1e9 path produces,
+independent of each kernel's padding granularity.
 """
 from __future__ import annotations
 
@@ -81,7 +87,7 @@ def flash_qualifies(Sq: int, Sk: int, d_k: int) -> bool:
 
 
 def _flash_bsd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bq: int,
-                      H: int, scale: float, causal: bool):
+                      H: int, scale: float, causal: bool, sk_actual: int):
     """One (batch-tile, q-tile) program: bt rows x bq queries, ALL heads
     (contiguous HBM blocks — slicing the d_k-per-head out of H*d_k in the
     BlockSpec would make every DMA strided at 1/H density).
@@ -99,6 +105,16 @@ def _flash_bsd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bq: int,
     sk = k_ref.shape[1]
     d = q_ref.shape[2] // H
     mask = mask_ref[:] > 0  # (bt, 1, Sk), broadcasts over queries
+    # padding-invariant convention: p is zeroed on key columns beyond the
+    # ACTUAL key length, so fully-masked rows (every actual key masked, as
+    # zero-filled missing features produce) normalize by sk_actual — the
+    # mean of V over the real key range, exactly the XLA/torch uniform-
+    # softmax-over--1e9 behavior, independent of kernel padding.
+    if sk_actual < sk:
+        kp = jax.lax.broadcasted_iota(jnp.int32, (1, sk), 1)
+        pad_valid = (kp < sk_actual)[None]  # (1, 1, sk)
+    else:
+        pad_valid = None
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[:, :, sl]
@@ -116,12 +132,17 @@ def _flash_bsd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bq: int,
             s = jnp.where((k_pos <= q_pos)[None], s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
+        if pad_valid is not None:
+            # no-op for live rows (those columns already underflowed to 0);
+            # for fully-masked rows it pins l to sk_actual (see above)
+            p = jnp.where(pad_valid, p, 0.0)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (bt, bq, d)
-        # fully-masked rows: every s == NEG_INF -> p == 1 -> o = mean(V),
-        # matching the XLA path's uniform softmax over -1e9 rows
+        # fully-masked rows: every s == NEG_INF -> p == 1 on actual keys
+        # -> o = mean(V) over the real key range, matching the XLA path's
+        # uniform softmax over -1e9 rows
         o = o / jnp.maximum(l, 1e-30)
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
@@ -176,20 +197,37 @@ def _pick_tiles(B: int, Sq_pad: int, Sk_pad: int, HD: int, itemsize: int,
 # context accumulator carried in scratch across k-blocks), shrinking K/V
 # residency to one (bt, sk, HD) block and freeing VMEM for larger batch
 # tiles (bt=1 -> 4 at the site above). The cost is K/V re-reads: every
-# q-tile streams the full key range again, so `auto` mode only picks the
-# streaming kernel when it strictly raises bt over the one-pass pick (or
-# when one-pass fits nothing). Measured (tools/flash_site_ab.py, v5e,
-# 2026-08-19, isolated site one-pass -> stream):
-#   B=256 Sq=300 Sk=800 HD=1024:  14.8 ->  10.7 ms (1.38x; bt 1 -> 4)
-#   B=256 Sq=800 Sk=800 HD=1024:  35.5 ->  27.6 ms (1.29x; bt 1 -> 4)
-#   B=256 Sq=300 Sk=300 HD=1024:   5.53 ->  5.54 ms (wash; bt 4 -> 8)
-#   B=1024 Sq=128 Sk=256 HD=1024: non-qualifying (one-pass bt already max)
-# Encoder forward at the dataset-max serving shape (flash one-pass ->
-# +stream, tools/flash_ab.py): B=256 Sv=300/Sa=800: 107.3 -> 101.5 ms;
-# B=32: 14.2 -> 13.9 ms; headline B=1024 Sv=128/Sa=256 unchanged (no site
-# qualifies). The `auto` gate (bt must strictly improve) is therefore the
-# default; BMHRL_FLASH_STREAM=on/off force it for A/B.
+# q-tile streams the full key range again. `auto` mode uses streaming as
+# COVERAGE ONLY: it dispatches the streaming kernel exactly when no
+# one-pass tiling fits the VMEM budget at all (_stream_wins) — e.g. f32
+# HD=1024 sources beyond ~880 keys, where the alternative is the unfused
+# XLA fallback. It never replaces a runnable one-pass config: the r3
+# hypothesis that bt=1 one-pass configs are residency-starved did NOT
+# survive re-measurement. Measured (tools/flash_site_ab.py, v5e,
+# 2026-08-19, TWO independent runs, reps=20; isolated site, bf16):
+#   B=256 Sq=300 Sk=800 HD=1024: one-pass (bt=1,bq=304)  7.22 / 7.20 ms
+#     best streaming (4,128,128) 12.05 / 11.98 ms (0.60x); the picker's
+#     (8,32,128) 19.04 / 18.78 ms (0.38x)
+#   B=256 Sq=800 Sk=800 HD=1024: one-pass (bt=1,bq=256) 13.14 ms
+#     best streaming (4,128,128) 20.64 ms (0.64x)
+# Encoder forward, same day (tools/flash_ab.py, B=256 Sv=300/Sa=800):
+# stream-auto-with-the-old-bt-gate 179.7 ms vs one-pass-only 108.4 ms vs
+# XLA 181.3 ms — the r3 gate was a ~1.66x regression at the long-source
+# shape, and the r3 notes' streaming wins (14.8 -> 10.7 etc.) were
+# measured against a one-pass baseline ~2x slower than today's
+# reproducible numbers (chip/tunnel state at measurement time).
+# BMHRL_FLASH_STREAM=on/off force the kernel for A/B.
 _STREAM_MODE = os.environ.get("BMHRL_FLASH_STREAM", "auto")
+
+
+def _stream_wins(tiles, stiles) -> bool:
+    """auto-mode dispatch: stream only when NO one-pass tiling fits the
+    VMEM budget (streaming then beats the unfused XLA fallback — one HBM
+    pass over K/V per q-tile vs a materialized (B,H,Sq,Sk) score tensor).
+    Whenever one-pass runs at all it wins: the 2026-08-19 re-measurement
+    (two runs, both long-source sites) put the best streaming config at
+    0.60-0.64x one-pass even where one-pass is capped at bt=1."""
+    return stiles is not None and tiles is None
 
 
 def set_stream_mode(mode: str) -> None:
@@ -230,14 +268,17 @@ def _pick_stream_tiles(B: int, Sq_pad: int, Sk_pad: int, HD: int,
 
 def _flash_stream_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref,
                          m_ref, l_ref, *, bq: int, sk: int, H: int,
-                         scale: float, causal: bool, nk: int):
+                         scale: float, causal: bool, nk: int,
+                         sk_actual: int):
     """One (batch-tile, q-tile, k-block) program step of online-softmax
     flash. Scratch persists across the innermost k-block axis: acc_ref
     (bt, bq, H*d) f32 unnormalized context, m_ref/l_ref (H, bt, bq) f32
     running max / normalizer per head. Initialized at k-block 0, finalized
     (normalize + cast) at k-block nk-1. Fully-masked rows reproduce the
-    one-pass kernel exactly: m stays NEG_INF, every p == 1, so the output
-    is the mean of V over the padded key range."""
+    one-pass kernel / XLA path exactly: m stays NEG_INF, p == 1 on actual
+    key columns and 0 on kernel padding (see the one-pass kernel), so the
+    output is the mean of V over the ACTUAL key range — padding-invariant,
+    independent of the k-block size."""
     from jax.experimental import pallas as pl
 
     kb = pl.program_id(2)
@@ -246,9 +287,16 @@ def _flash_stream_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref,
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     mask = mask_ref[:] > 0  # (bt, 1, sk), broadcasts over queries
     d = q_ref.shape[2] // H
+    k0 = kb * sk
+    if sk_actual < nk * sk:
+        kp = jax.lax.broadcasted_iota(jnp.int32, (1, sk), 1) + k0
+        pad_valid = (kp < sk_actual)[None]  # (1, 1, sk)
+    else:
+        pad_valid = None
     for h in range(H):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[:, :, sl]
@@ -260,7 +308,6 @@ def _flash_stream_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref,
         s = jnp.where(mask, s, NEG_INF)
         if causal:
             q0 = pl.program_id(1) * bq
-            k0 = kb * sk
             q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, sk), 0) + q0
             k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, sk), 1) + k0
             s = jnp.where((k_pos <= q_pos)[None], s, NEG_INF)
@@ -268,16 +315,14 @@ def _flash_stream_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         corr = jnp.exp(m_prev - m_new)                     # (bt, bq)
         p = jnp.exp(s - m_new[..., None])                  # (bt, bq, sk)
+        if pad_valid is not None:
+            p = jnp.where(pad_valid, p, 0.0)
         l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1)
         m_ref[h] = m_new
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # (bt, bq, d)
-        if nk > 1:
-            acc_prev = jnp.where(kb == 0, 0.0, acc_ref[:, :, sl])
-            acc_ref[:, :, sl] = acc_prev * corr[..., None] + pv
-        else:
-            acc_ref[:, :, sl] = pv
+        acc_ref[:, :, sl] = acc_ref[:, :, sl] * corr[..., None] + pv
 
     @pl.when(kb == nk - 1)
     def _finalize():
@@ -309,7 +354,8 @@ def _flash_stream_call(q, k, v, mask, H: int, causal: bool,
     nk = Sk_pad // sk
     grid = (Bp // bt, Sq_pad // bq, nk)
     kernel = functools.partial(_flash_stream_kernel, bq=bq, sk=sk, H=H,
-                               scale=scale, causal=causal, nk=nk)
+                               scale=scale, causal=causal, nk=nk,
+                               sk_actual=Sk)
 
     interpret = jax.default_backend() != "tpu"
     kwargs = {}
@@ -354,9 +400,8 @@ def _flash_bsd_call(q, k, v, mask, H: int, causal: bool):
     if _STREAM_MODE != "off":
         stiles = _pick_stream_tiles(B, Sq_pad, Sk_pad, HD, q.dtype.itemsize,
                                     sq_align)
-        if stiles is not None and (
-                tiles is None or _STREAM_MODE == "on"
-                or stiles[0] > tiles[0]):
+        if stiles is not None and (_STREAM_MODE == "on"
+                                   or _stream_wins(tiles, stiles)):
             return _flash_stream_call(q, k, v, mask, H, causal, stiles)
     if tiles is None:
         # shape too large for any tile config: plain XLA attention
@@ -381,7 +426,7 @@ def _flash_bsd_call(q, k, v, mask, H: int, causal: bool):
     # Mosaic skips the re-fetch and K/V stream from HBM once per batch tile
     grid = (Bp // bt, Sq_pad // bq)
     kernel = functools.partial(_flash_bsd_kernel, bq=bq, H=H, scale=scale,
-                               causal=causal)
+                               causal=causal, sk_actual=Sk)
 
     interpret = jax.default_backend() != "tpu"
     kwargs = {}
