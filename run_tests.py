@@ -33,6 +33,7 @@ GROUPS = [
      "tests/test_critic_kernels.py", "tests/test_encoder_fused.py"],
     ["tests/test_acquisition.py", "tests/test_analyze.py",
      "tests/test_data.py", "tests/test_data_extras.py", "tests/test_eval.py",
+     "tests/test_eval_metrics_golden.py",
      "tests/test_losses.py", "tests/test_meteor15_golden.py",
      "tests/test_meteor_synonyms.py", "tests/test_native.py",
      "tests/test_rewards.py", "tests/test_segments.py",
