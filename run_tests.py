@@ -35,6 +35,7 @@ GROUPS = [
      "tests/test_data.py", "tests/test_data_extras.py", "tests/test_eval.py",
      "tests/test_eval_metrics_golden.py",
      "tests/test_losses.py", "tests/test_meteor15_golden.py",
+     "tests/test_meteor_nltk35_compat.py",
      "tests/test_meteor_synonyms.py", "tests/test_native.py",
      "tests/test_rewards.py", "tests/test_segments.py",
      "tests/test_tokenizer_golden.py", "tests/test_utils.py"],
