@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import tempfile
+import time
 
 
 def main(argv=None):
@@ -124,14 +125,20 @@ def main(argv=None):
                 for k in ("feature_stacks", "masks", "targets")}
 
     proposals = {}
-    for batch in ds.batches(0, args.prop_B, shuffle=False):
+    t_prop0 = time.time()
+    prop_compile_s = 0.0
+    for i, batch in enumerate(ds.batches(0, args.prop_B, shuffle=False)):
         preds = np.asarray(sf.predict(state, device_batch(batch)))
+        if i == 0:  # first batch carries the predict compile
+            prop_compile_s = time.time() - t_prop0
         per_vid = postprocess(preds, batch["durations"], args.max_props,
                               args.nms_tiou_thresh)
         for vid, rows in zip(batch["video_ids"], per_vid):
             proposals[vid] = rows
+    propose_wall_s = time.time() - t_prop0
     n_props = sum(len(v) for v in proposals.values())
-    print(f"{n_props} proposals across {len(proposals)} videos")
+    print(f"{n_props} proposals across {len(proposals)} videos "
+          f"in {propose_wall_s:.2f}s")
 
     # ---- stage 2: caption ------------------------------------------------
     overrides = json.loads(args.config_json) if args.config_json else {}
@@ -184,8 +191,19 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(predictions, f)
     os.unlink(meta_tmp)
-    print(json.dumps({"videos": len(durations), "proposals": n_props,
-                      **stats.summary()}))
+    caption = stats.summary()
+    e2e_s = propose_wall_s + caption["wall_s"]
+    summary = {
+        "videos": len(durations), "proposals": n_props,
+        "propose_wall_s": round(propose_wall_s, 3),
+        "propose_compile_s": round(prop_compile_s, 3),
+        "props_per_sec": round(n_props / propose_wall_s, 2)
+        if propose_wall_s else 0.0,
+        "caption": caption,
+        "e2e_wall_s": round(e2e_s, 3),
+        "e2e_clips_per_sec": round(n_props / e2e_s, 2) if e2e_s else 0.0,
+    }
+    print(json.dumps(summary))
     return predictions
 
 
