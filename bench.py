@@ -27,6 +27,11 @@ Everything is measured in the PRODUCTION configuration: the same
 enable_flash(cfg.use_pallas_attention) call cli/run_training.py makes
 (train/loop.py:40-42) runs here first.
 
+All headline values are MEDIANS over recorded per-iteration (or per-block)
+samples; every metric carries a ``*_spread`` field (med/min/max/n) in
+``extra`` so run-to-run tunnel variance is auditable (VERDICT r3 item 4).
+Compile happens before any timed sample.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
@@ -37,12 +42,32 @@ import time
 import numpy as np
 
 
+def _stats(samples):
+    """Median + spread of a sample list (VERDICT r3 item 4: the tunnel's
+    run-to-run variance must be in the artifact, not averaged away)."""
+    s = sorted(samples)
+    n = len(s)
+    med = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    return med, {"med": round(med, 2), "min": round(s[0], 2),
+                 "max": round(s[-1], 2), "n": n}
+
+
+def _rate_samples(run, B, iters):
+    """Per-iteration clips/s samples; ``run`` must block until done."""
+    out = []
+    for _ in range(iters):
+        t0 = time.time()
+        run()
+        out.append(B / (time.time() - t0))
+    return out
+
+
 def _decode_bench(jax, jnp, model, params_for, feats_for, masks_for,
                   max_len=30):
     from bmhrl_tpu.ops.masking import c_mask
     from bmhrl_tpu.train.decode import decode
 
-    results = {}
+    results, spreads = {}, {}
     for B in (32, 256, 1024):
         feats = feats_for(B)
         masks_src = masks_for(feats, None)
@@ -60,11 +85,9 @@ def _decode_bench(jax, jnp, model, params_for, feats_for, masks_for,
             except Exception:
                 if attempt == 2:
                     raise
-        iters = 8 if B <= 64 else 5
-        t0 = time.time()
-        for _ in range(iters):
-            run()
-        results[B] = B / ((time.time() - t0) / iters)
+        iters = 8 if B <= 64 else 6
+        med, sp = _stats(_rate_samples(run, B, iters))
+        results[B], spreads[B] = med, sp
 
     best_B = max(results, key=results.get)
     best = results[best_B]
@@ -93,12 +116,9 @@ def _decode_bench(jax, jnp, model, params_for, feats_for, masks_for,
         return np.asarray(trg)
 
     run_reference_style()  # compile
-    t0 = time.time()
-    ref_iters = 2
-    for _ in range(ref_iters):
-        run_reference_style()
-    ref = best_B / ((time.time() - t0) / ref_iters)
-    return results, best_B, best, ref
+    ref, ref_sp = _stats(_rate_samples(run_reference_style, best_B, 3))
+    spreads["reference_style"] = ref_sp
+    return results, spreads, best_B, best, ref
 
 
 # v5e bf16 peak (MXU): 197 TFLOP/s — the MFU denominator
@@ -153,8 +173,10 @@ def _train_bench(jax, jnp, model):
     def sync(m):
         return float(np.asarray(m["loss"]))
 
-    out = {}
-    # warmstart batch sweep (VERDICT r2 item 4: scaling + MFU accounting)
+    out, spreads = {}, {}
+    # warmstart batch sweep (VERDICT r2 item 4: scaling + MFU accounting).
+    # Steps dispatch async, so samples are BLOCK-level (5 steps + sync) —
+    # per-step syncing would serialize the tunnel latency into the number.
     state = None
     for B in (16, 32, 64, 128):
         batch = _make_batch(jnp, B)
@@ -162,12 +184,14 @@ def _train_bench(jax, jnp, model):
             state = sf.init_state(jax.random.PRNGKey(0), batch)
         state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
         sync(m)
-        t0 = time.time()
-        iters = 8
-        for _ in range(iters):
-            state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
-        sync(m)
-        sps = iters / (time.time() - t0)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(5):
+                state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
+            sync(m)
+            samples.append(5 / (time.time() - t0))
+        sps, spreads[f"warmstart_B{B}"] = _stats(samples)
         out[f"warmstart_B{B}_steps_per_sec"] = sps
         flops = _step_flops(jax, sf, state, batch, k)
         if flops:
@@ -182,13 +206,16 @@ def _train_bench(jax, jnp, model):
         score = jnp.zeros(roll["sampled"].shape, jnp.float32)
         state, m = sf.rl_update(state, batch, k, 1e-4, roll, score, tw)
         sync(m)
-        t0 = time.time()
-        iters = 6
-        for _ in range(iters):
-            roll = sf.rl_rollout(state, batch, k, tw)
-            state, m = sf.rl_update(state, batch, k, 1e-4, roll, score, tw)
-        sync(m)
-        out[f"{name}_steps_per_sec"] = iters / (time.time() - t0)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(3):
+                roll = sf.rl_rollout(state, batch, k, tw)
+                state, m = sf.rl_update(state, batch, k, 1e-4, roll, score,
+                                        tw)
+            sync(m)
+            samples.append(3 / (time.time() - t0))
+        out[f"{name}_steps_per_sec"], spreads[name] = _stats(samples)
 
     # reference-style sequential ordering: rollout -> BLOCKING host CIDEr
     # scoring -> update (what the torch loop does,
@@ -207,17 +234,19 @@ def _train_bench(jax, jnp, model):
     state, m = sf.rl_update(state, batch, k, 1e-4, roll,
                             jnp.asarray(score0), True)
     sync(m)
-    t0 = time.time()
-    iters = 6
-    for _ in range(iters):
+    samples = []
+    for _ in range(6):  # each iteration fully syncs -> per-step samples
+        t0 = time.time()
         roll = sf.rl_rollout(state, batch, k, True)
         sampled = np.asarray(roll["sampled"])  # blocking device->host
         sc, _ = scorer.delta_worker(sampled, trgs)
         state, m = sf.rl_update(state, batch, k, 1e-4, roll,
                                 jnp.asarray(sc), True)
         sync(m)
-    out["rl_sequential_steps_per_sec"] = iters / (time.time() - t0)
-    return out
+        samples.append(1 / (time.time() - t0))
+    out["rl_sequential_steps_per_sec"], spreads["rl_sequential"] = \
+        _stats(samples)
+    return out, spreads
 
 
 def _decode_long_bench(jax, jnp, model, params, masks_for, max_len=30):
@@ -241,12 +270,9 @@ def _decode_long_bench(jax, jnp, model, params, masks_for, max_len=30):
             return np.asarray(toks)
 
         run()  # compile
-        iters = 5
-        t0 = time.time()
-        for _ in range(iters):
-            run()
-        out[f"decode_long_B{B}_clips_per_sec"] = round(
-            B / ((time.time() - t0) / iters), 2)
+        med, sp = _stats(_rate_samples(run, B, 6))
+        out[f"decode_long_B{B}_clips_per_sec"] = round(med, 2)
+        out[f"decode_long_B{B}_spread"] = sp
     return out
 
 
@@ -265,12 +291,9 @@ def _beam_bench(jax, jnp, model, params, feats_for, masks_for, max_len=30):
         return np.asarray(toks)
 
     run()  # compile
-    iters = 4
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    return {"beam_W4_B256_clips_per_sec": round(
-        B / ((time.time() - t0) / iters), 2)}
+    med, sp = _stats(_rate_samples(run, B, 5))
+    return {"beam_W4_B256_clips_per_sec": round(med, 2),
+            "beam_W4_B256_spread": sp}
 
 
 def main():
@@ -317,22 +340,28 @@ def main():
                 (feats["rgb"] + feats["flow"], feats["audio"]), trg0, m0)
         return _param_cache["p"]
 
-    per_b, best_B, best, ref = _decode_bench(
+    per_b, dec_spreads, best_B, best, ref = _decode_bench(
         jax, jnp, model, params_for, feats_for, masks_for)
     long_decode = _decode_long_bench(jax, jnp, model, _param_cache["p"],
                                      masks_for)
     beam = _beam_bench(jax, jnp, model, _param_cache["p"], feats_for,
                        masks_for)
-    train = _train_bench(jax, jnp, model)
+    train, train_spreads = _train_bench(jax, jnp, model)
 
     extra = {f"decode_B{b}_clips_per_sec": round(v, 2)
              for b, v in per_b.items()}
+    extra.update({f"decode_B{b}_spread": sp for b, sp in dec_spreads.items()
+                  if isinstance(b, int)})
     extra["best_batch"] = best_B
     extra["reference_style_clips_per_sec"] = round(ref, 2)
+    extra["reference_style_spread"] = dec_spreads["reference_style"]
     extra.update(long_decode)
     extra.update(beam)
     extra.update({k: round(v, 3) for k, v in train.items()})
+    extra.update({f"{k}_spread": sp for k, sp in train_spreads.items()})
     extra["flash_attention_on"] = True
+    extra["samples"] = "all *_spread fields: med/min/max over n repeats; " \
+        "headline value = median over per-iteration samples"
     print(json.dumps({
         "metric": (f"captioned clips/sec/chip (greedy, KV-cached decode, "
                    f"best of B in {{32,256,1024}}, Sv=128, Sa=256)"),

@@ -490,22 +490,29 @@ def _flash_bsd_fwd(q, k, v, mask, H, causal):
 
 
 def _flash_bsd_bwd(H, causal, res, g):
+    # Matmul operands stay in the INPUT dtype (bf16 in production — full
+    # MXU rate, same precision profile as the forward kernel) with f32
+    # accumulation; softmax and the ds reduction run in f32. f32 inputs
+    # get a fully-f32 backward (grad-parity tests, debugging).
     q3, k3, v3, mask = res
-    q = _heads_of(q3, H).astype(jnp.float32)
-    k = _heads_of(k3, H).astype(jnp.float32)
-    v = _heads_of(v3, H).astype(jnp.float32)
-    g = _heads_of(g, H).astype(jnp.float32)
+    dt = q3.dtype
+    q = _heads_of(q3, H)
+    k = _heads_of(k3, H)
+    v = _heads_of(v3, H)
+    g = _heads_of(g, H).astype(dt)
     m4 = None if mask is None else (mask[:, None, None, :] > 0)
-    p = _xla_attention_probs(q, k, m4, causal)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
+    p = _xla_attention_probs(q, k, m4, causal)  # f32 probs
+    pm = p.astype(dt)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", pm, g,
                     preferred_element_type=jnp.float32)
     dp = jnp.einsum("bhqd,bhkd->bhqk", g, v,
                     preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k,
+    dsm = ds.astype(dt)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dsm, k,
                     preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dsm, q,
                     preferred_element_type=jnp.float32) * scale
     return (_unheads(dq).astype(q3.dtype), _unheads(dk).astype(k3.dtype),
             _unheads(dv).astype(v3.dtype), None)

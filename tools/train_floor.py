@@ -1,0 +1,187 @@
+"""Warmstart-step roofline floor analysis (VERDICT r3 item 3).
+
+For each phase of the warmstart training step, pull FLOPs and bytes
+accessed from XLA's own cost model on the COMPILED executable, compute the
+compute floor (flops / 197 TFLOP/s bf16 MXU peak) and the memory floor
+(bytes / 819 GB/s v5e HBM), and compare the roofline floor max(cc, mm)
+against measured wall time. "eff" is floor/measured — how close the phase
+runs to its own speed-of-light; "mfu" is flops/(t*peak) — the headline
+utilization number.
+
+Phases (each jitted separately, synced by scalar fetch):
+  critic     — caption embedding + frozen SegmentCritic (4xLSTM + 2xGRU,
+               SEQUENTIAL over L=31 tokens: the serial-latency suspect)
+  encoder    — bimodal encoder over (Sv, Sa) sources
+  caption    — predict_with_features given precomputed memories (includes
+               critic; caption-matmul part = caption - critic)
+  full_fwd   — loss forward, dropout ON (matches the step's config)
+  fwd_bwd    — value_and_grad of the loss (step minus optimizer)
+  full_step  — StepFactory.warmstart_step (the bench number)
+
+Run on the real chip:  python tools/train_floor.py [B ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bmhrl_tpu.utils.jax_setup import setup_jax
+setup_jax()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmhrl_tpu.config import Config
+from bmhrl_tpu.models.bmhrl import (BMHrlAgent, BMManagerValueFunction,
+                                    BMWorkerValueFunction)
+from bmhrl_tpu.ops import attention as fused
+from bmhrl_tpu.ops.masking import make_masks
+from bmhrl_tpu.train import losses as L
+from bmhrl_tpu.train.steps import PAD, StepFactory
+
+fused.enable_flash(Config(B=16, to_log=False).use_pallas_attention)
+
+PEAK_FLOPS = 197e12   # v5e bf16 MXU
+PEAK_BYTES = 819e9    # v5e HBM
+
+VOC, Sv, Sa, Lc = 10172, 128, 256, 31
+model = BMHrlAgent(voc_size=VOC)
+BATCHES = [int(b) for b in sys.argv[1:]] or [32, 64]
+
+
+def cost_of(jitted, *args):
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception as e:  # backend may not expose the analysis
+        print(f"  (cost_analysis unavailable: {e})")
+        return None, None
+
+
+def timeit(fn, *args, iters=10):
+    float(fn(*args))  # compile + warm
+    samples = []
+    for _ in range(iters):
+        t0 = time.time()
+        s = fn(*args)
+        float(s)
+        samples.append((time.time() - t0) * 1e3)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def report(name, t_ms, flops, bytes_):
+    if flops is None:
+        print(f"  {name:10s} {t_ms:7.2f} ms   (no cost model)")
+        return
+    cc = flops / PEAK_FLOPS * 1e3
+    mm = bytes_ / PEAK_BYTES * 1e3
+    floor = max(cc, mm)
+    bound = "compute" if cc >= mm else "memory"
+    print(f"  {name:10s} {t_ms:7.2f} ms   {flops/1e9:8.1f} GFLOP "
+          f"{bytes_/1e9:7.2f} GB   cc={cc:6.2f} mm={mm:6.2f} "
+          f"floor={floor:6.2f} ({bound})  eff={floor/t_ms*100:5.1f}%  "
+          f"mfu={flops/(t_ms*1e-3)/PEAK_FLOPS*100:5.1f}%")
+
+
+for B in BATCHES:
+    rng = np.random.RandomState(0)
+    cap = np.full((B, Lc + 1), 1, np.int32)
+    cap[:, 0] = 2
+    cap[:, 1:20] = rng.randint(4, VOC, (B, 19))
+    cap[:, 20] = 3
+    batch = {
+        "rgb": jnp.asarray(rng.rand(B, Sv, 1024), jnp.float32),
+        "flow": jnp.asarray(rng.rand(B, Sv, 1024), jnp.float32),
+        "audio": jnp.asarray(rng.rand(B, Sa, 128), jnp.float32),
+        "caption_idx": jnp.asarray(cap),
+    }
+    cfg = Config(B=B, mesh_shape=(1, 1), to_log=False)
+    sf = StepFactory(cfg, model, BMWorkerValueFunction(),
+                     BMManagerValueFunction(), emb_trainable=True)
+    state = sf.init_state(jax.random.PRNGKey(0), batch)
+    k = jax.random.PRNGKey(1)
+    # warmstart_step donates `state`; deep-copy the params so the per-phase
+    # probes below survive the step-timing loop.
+    params = jax.tree.map(jnp.copy, state.cap_params)
+
+    feats = {kk: batch[kk] for kk in ("rgb", "flow", "audio")}
+    x_idx = batch["caption_idx"][:, :-1]
+    y_idx = batch["caption_idx"][:, 1:]
+    masks = make_masks(feats, x_idx, "audio_video", PAD)
+    V = batch["rgb"] + batch["flow"]
+    A = batch["audio"]
+    rngs = {"dropout": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)}
+    n_tokens = (y_idx != PAD).sum()
+
+    @jax.jit
+    def critic_fwd(params, x_idx):
+        C_emb = model.apply(params, x_idx, method="embed_caption")
+        lab = model.apply(params, C_emb, method="segment_labels_of")
+        return jnp.sum(lab)
+
+    @jax.jit
+    def enc_fwd(params, V, A, masks):
+        out = model.apply(params, V, A, masks, method="encode")
+        return jnp.sum(out[0][:, 0, 0]) + jnp.sum(out[1][:, 0, 0])
+
+    @jax.jit
+    def memories(params, V, A, masks):
+        return model.apply(params, V, A, masks, method="encode")
+
+    Va, Av = jax.block_until_ready(memories(params, V, A, masks))
+
+    @jax.jit
+    def caption_fwd(params, x_idx, Va, Av, masks):
+        C_emb = model.apply(params, x_idx, method="embed_caption")
+        pred, *_ = model.apply(params, C_emb, Va, Av, masks,
+                               method="predict_with_features")
+        return jnp.sum(pred[:, 0, 0])
+
+    def loss_fn(cap_params):
+        pred, wf, mf, goals, seg = model.apply(
+            cap_params, (V, A), x_idx, masks,
+            exploration=True, deterministic=False, rngs=rngs)
+        return jnp.sum(
+            L.label_smoothing(pred, y_idx, cfg.smoothing, PAD)) / n_tokens
+
+    full_fwd = jax.jit(loss_fn)
+    fwd_bwd_ = jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)[0])
+
+    def step(state, batch, k):
+        st, m, _ = sf.warmstart_step(state, batch, k, 1e-4)
+        return st, m
+
+    st, m = step(state, batch, k)
+    float(m["loss"])
+    samples = []
+    for _ in range(10):
+        t0 = time.time()
+        st, m = step(st, batch, k)
+        float(m["loss"])
+        samples.append((time.time() - t0) * 1e3)
+    samples.sort()
+    t_step = samples[len(samples) // 2]
+
+    print(f"\nB={B}  (Sv={Sv} Sa={Sa} Lc={Lc}, bf16 compute, dropout on in "
+          f"full_fwd/fwd_bwd/full_step)")
+    report("critic", timeit(critic_fwd, params, x_idx),
+           *cost_of(critic_fwd, params, x_idx))
+    report("encoder", timeit(enc_fwd, params, V, A, masks),
+           *cost_of(enc_fwd, params, V, A, masks))
+    report("caption", timeit(caption_fwd, params, x_idx, Va, Av, masks),
+           *cost_of(caption_fwd, params, x_idx, Va, Av, masks))
+    report("full_fwd", timeit(full_fwd, params), *cost_of(full_fwd, params))
+    report("fwd_bwd", timeit(fwd_bwd_, params), *cost_of(fwd_bwd_, params))
+    try:
+        lowered = type(sf).warmstart_step.lower(sf, state, batch, k, 1e-4)
+        c = lowered.compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        sflops, sbytes = float(c["flops"]), float(c["bytes accessed"])
+    except Exception:
+        sflops = sbytes = None
+    report("full_step", t_step, sflops, sbytes)
