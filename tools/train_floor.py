@@ -61,14 +61,22 @@ def cost_of(jitted, *args):
         return None, None
 
 
-def timeit(fn, *args, iters=10):
+def timeit(fn, *args, iters=10, chain=4):
+    """Median per-call ms over ``iters`` blocks of ``chain`` async-dispatched
+    calls with ONE sync per block: per-call syncing would serialize the
+    tunnel's ~25 ms round-trip latency into every sample (measured
+    2026-08-20: a trivial jitted op "costs" 26.6 ms synced), drowning any
+    phase cheaper than ~100 ms. Async dispatch matches how the real train
+    loop runs."""
     float(fn(*args))  # compile + warm
     samples = []
     for _ in range(iters):
         t0 = time.time()
-        s = fn(*args)
+        s = None
+        for _ in range(chain):
+            s = fn(*args)
         float(s)
-        samples.append((time.time() - t0) * 1e3)
+        samples.append((time.time() - t0) * 1e3 / chain)
     samples.sort()
     return samples[len(samples) // 2]
 
@@ -149,7 +157,14 @@ for B in BATCHES:
             L.label_smoothing(pred, y_idx, cfg.smoothing, PAD)) / n_tokens
 
     full_fwd = jax.jit(loss_fn)
-    fwd_bwd_ = jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)[0])
+
+    @jax.jit
+    def fwd_bwd_(p):
+        # the loss alone would let XLA dead-code-eliminate the whole
+        # backward — fold a grad-dependent scalar into the output
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(grads))
+        return loss + 0.0 * gsum
 
     def step(state, batch, k):
         st, m, _ = sf.warmstart_step(state, batch, k, 1e-4)
@@ -158,11 +173,12 @@ for B in BATCHES:
     st, m = step(state, batch, k)
     float(m["loss"])
     samples = []
-    for _ in range(10):
+    for _ in range(8):  # blocks of 4 chained steps, one sync per block
         t0 = time.time()
-        st, m = step(st, batch, k)
+        for _ in range(4):
+            st, m = step(st, batch, k)
         float(m["loss"])
-        samples.append((time.time() - t0) * 1e3)
+        samples.append((time.time() - t0) * 1e3 / 4)
     samples.sort()
     t_step = samples[len(samples) // 2]
 
