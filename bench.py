@@ -306,14 +306,12 @@ def main():
     from bmhrl_tpu.config import Config
     from bmhrl_tpu.models.bmhrl import BMHrlAgent
     from bmhrl_tpu.ops.attention import enable_flash
-    from bmhrl_tpu.ops.encoder_fused import enable_encoder_fusion
     from bmhrl_tpu.ops.masking import make_masks
 
     # the production configuration: exactly what cli/run_training.py sets
-    # up for every training/eval run (train/loop.py:40-44)
+    # up for every training/eval run (train/loop.py:40-43)
     _cfg0 = Config(B=16, to_log=False)
     enable_flash(_cfg0.use_pallas_attention)
-    enable_encoder_fusion(_cfg0.use_fused_encoder)
 
     VOC, Sv, Sa = 10172, 128, 256
     model = BMHrlAgent(voc_size=VOC)

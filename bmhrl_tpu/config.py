@@ -143,11 +143,6 @@ class Config:
     # under log_dir and continue at epoch n+1 (data order is epoch-seeded)
     auto_resume: bool = False
     use_pallas_attention: bool = True
-    # fused encoder-layer Pallas ops (LN+QKV / epilogue+FFN single passes;
-    # deterministic forward only). Default OFF until the on-chip A/B
-    # (tools/encoder_fused_ab.py) records a win — defaults follow
-    # measurements here (round-2 verdict, weak #1).
-    use_fused_encoder: bool = False
     num_data_workers: int = 8
     eval_max_batches: Optional[int] = None  # cap 1-by-1 eval batches (smoke runs)
     debug_nans: bool = False  # jax_debug_nans (dev-mode anomaly detection)

@@ -75,8 +75,7 @@ class PositionwiseFeedForward(nn.Module):
     """fc1 -> relu -> dropout -> fc2. ref: model/blocks.py:164-187.
 
     setup-style (attribute names are the param paths, identical to the
-    earlier compact layout) so the fused encoder path (ops/encoder_fused.py)
-    can read fc1/fc2 kernels off the bound module."""
+    earlier compact layout, preserving the strict .pt interop surface)."""
 
     d_model: int
     d_ff: int

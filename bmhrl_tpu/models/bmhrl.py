@@ -33,16 +33,12 @@ class BMEncoderLayer(nn.Module):
     per-modality FFN; prenorm residuals. ref: bm_hrl_agent.py:328-384.
 
     setup-style (attribute names are the param paths, unchanged from the
-    earlier compact layout) so the fused path can read projection/LN/FFN
-    weights off the bound children. When ``deterministic``, fusion is
-    enabled (OPT-IN: the on-chip A/B measured the glue at 0.98x of the
-    flash-only path at the serving shapes — composition costs at the
-    Pallas/XLA boundaries eat the per-op wins; ROUND3_NOTES §9) and the
-    dims tile the TPU lane width, the layer runs through the fused ops in
-    ops/encoder_fused.py. BMHRL_FUSED_PARTS=self|cross (env, trace-time)
-    bisects the two sublayer groups for A/B diagnostics. Training (dropout
-    active) keeps the plain composition; both paths compute the same
-    math."""
+    earlier compact layout, preserving the strict .pt interop surface).
+    Attention routes through the Pallas flash kernel (ops/attention.py)
+    when enabled; a monolithic fused-encoder-layer surface was A/B'd over
+    rounds 2-4, measured a wash-or-loss at every serving shape, and
+    deleted (ROUND3_NOTES §9-10, ROUND4_NOTES §8) — its one real win, the
+    flash MIN_SK=128 tile floor, lives in ops/attention.py."""
 
     d_model_M1: int
     d_model_M2: int
@@ -73,43 +69,9 @@ class BMEncoderLayer(nn.Module):
                        for _ in range(3)]
 
     def __call__(self, x, masks, deterministic: bool = True):
-        from bmhrl_tpu.ops import encoder_fused as enc
-
         M1, M2 = x
         M1_mask, M2_mask = masks
         det = deterministic
-        if (det and not self.is_initializing()
-                and enc.encoder_fusion_qualifies(
-                    self.d_model_M1, self.d_model_M2, self.d_model,
-                    self.d_ff_M1, self.d_ff_M2)):
-            import os
-            parts = os.environ.get("BMHRL_FUSED_PARTS", "self,cross")
-            if "self" in parts:
-                x1_M1 = enc.fused_self_attention(
-                    self.self_att_M1, self.res_M1[0], M1, M1_mask, self.dtype)
-                x1_M2 = enc.fused_self_attention(
-                    self.self_att_M2, self.res_M2[0], M2, M2_mask, self.dtype)
-            else:
-                x1_M1 = self.res_M1[0](M1, lambda h: self.self_att_M1(
-                    h, h, h, M1_mask, deterministic=det), det)
-                x1_M2 = self.res_M2[0](M2, lambda h: self.self_att_M2(
-                    h, h, h, M2_mask, deterministic=det), det)
-            if "cross" in parts:
-                out_M1 = enc.fused_cross_ffn(
-                    self.bi_modal_att_M1, self.res_M1[1], self.ff_M1,
-                    self.res_M1[2], x1_M1, x1_M2, M2_mask, self.dtype)
-                out_M2 = enc.fused_cross_ffn(
-                    self.bi_modal_att_M2, self.res_M2[1], self.ff_M2,
-                    self.res_M2[2], x1_M2, x1_M1, M1_mask, self.dtype)
-            else:
-                M1m2 = self.res_M1[1](x1_M1, lambda h: self.bi_modal_att_M1(
-                    h, x1_M2, x1_M2, M2_mask, deterministic=det), det)
-                M2m1 = self.res_M2[1](x1_M2, lambda h: self.bi_modal_att_M2(
-                    h, x1_M1, x1_M1, M1_mask, deterministic=det), det)
-                out_M1 = self.res_M1[2](M1m2, lambda h: self.ff_M1(h, det), det)
-                out_M2 = self.res_M2[2](M2m1, lambda h: self.ff_M2(h, det), det)
-            return out_M1, out_M2
-
         M1 = self.res_M1[0](M1, lambda h: self.self_att_M1(
             h, h, h, M1_mask, deterministic=det), det)
         M2 = self.res_M2[0](M2, lambda h: self.self_att_M2(

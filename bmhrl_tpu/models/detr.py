@@ -62,15 +62,7 @@ class DetrEncoderLayer(nn.Module):
         self.drop = nn.Dropout(self.dout_p)
 
     def __call__(self, src, mask, pos_enc, deterministic: bool = True):
-        from bmhrl_tpu.ops import encoder_fused as enc
-
         q = pos_enc(src, deterministic)
-        if (deterministic and not self.is_initializing()
-                and enc.encoder_fusion_qualifies(self.d_model, self.dim_ff)):
-            # post-norm fused passes: LN(src + out-proj) and LN(x + FFN(x))
-            return enc.fused_postnorm_layer(
-                self.self_attn, self.norm1, self.linear1, self.linear2,
-                self.norm2, src, q, mask, self.dtype)
         src2 = self.self_attn(q, q, src, mask, deterministic=deterministic)
         src = src + self.drop(src2, deterministic=deterministic)
         src = self.norm1(src.astype(jnp.float32)).astype(self.dtype)

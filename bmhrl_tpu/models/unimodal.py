@@ -43,17 +43,7 @@ class UnimodalEncoderLayer(nn.Module):
         self.res_M1_2 = ResidualConnection(self.d_m1, self.dout_p)
 
     def __call__(self, x, mask, deterministic: bool = True):
-        from bmhrl_tpu.ops import encoder_fused as enc
-
         det = deterministic
-        if (det and not self.is_initializing()
-                and enc.encoder_fusion_qualifies(
-                    self.d_m1, self.d_model, self.d_ff)):
-            # LN+merged-QKV one pass; out-proj + residual + LN + FFN +
-            # residual one pass (ops/encoder_fused.py)
-            return enc.fused_self_ffn(
-                self.self_att_M1, self.res_M1_0, self.ff_M1, self.res_M1_2,
-                x, mask, self.dtype)
         x = self.res_M1_0(x, lambda h: self.self_att_M1(
             h, h, h, mask, deterministic=det), det)
         x = self.res_M1_2(x, lambda h: self.ff_M1(h, det), det)

@@ -38,10 +38,8 @@ from bmhrl_tpu.utils.logging import ScalarLogger, log_stderr
 def build_model(cfg: Config, voc_size: int):
     """Model select by cfg.mode. ref: train_rl_captioning_module.py:54-61."""
     from bmhrl_tpu.ops.attention import enable_flash
-    from bmhrl_tpu.ops.encoder_fused import enable_encoder_fusion
 
     enable_flash(cfg.use_pallas_attention)
-    enable_encoder_fusion(cfg.use_fused_encoder)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.mode in ("BMHRL", "BM", "verbose", "eval"):
         return BMHrlAgent(

@@ -148,11 +148,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GNMT length-normalization exponent for beam rank")
     p.add_argument("--no_pallas_attention", dest="use_pallas_attention",
                    action="store_false", default=True)
-    p.add_argument("--use_fused_encoder", action="store_true", default=False,
-                   help="fused encoder-layer Pallas ops (LN+QKV / "
-                        "epilogue+FFN single passes) on deterministic "
-                        "forwards; opt-in until the on-chip A/B records "
-                        "a win (tools/encoder_fused_ab.py)")
     p.add_argument("--no_rl_pipeline", dest="rl_pipeline",
                    action="store_false", default=True,
                    help="disable the one-batch-deep host-score pipeline "

@@ -31,7 +31,7 @@ GROUPS = [
     ["tests/test_torch_parity.py", "tests/test_torch_parity_detr.py",
      "tests/test_torch_parity_unimodal.py", "tests/test_unimodal.py"],
     ["tests/test_flash_attention.py", "tests/test_model_forward.py",
-     "tests/test_critic_kernels.py", "tests/test_encoder_fused.py"],
+     "tests/test_critic_kernels.py"],
     ["tests/test_acquisition.py", "tests/test_analyze.py",
      "tests/test_data.py", "tests/test_data_extras.py", "tests/test_eval.py",
      "tests/test_eval_metrics_golden.py",

@@ -22,13 +22,11 @@ import jax.numpy as jnp
 from bmhrl_tpu.config import Config
 from bmhrl_tpu.models.bmhrl import BMHrlAgent
 from bmhrl_tpu.ops.attention import enable_flash
-from bmhrl_tpu.ops.encoder_fused import enable_encoder_fusion
 from bmhrl_tpu.ops.masking import make_masks
 from bmhrl_tpu.train.decode import decode
 
 _cfg0 = Config(B=16, to_log=False)
 enable_flash(_cfg0.use_pallas_attention)
-enable_encoder_fusion(_cfg0.use_fused_encoder)
 
 VOC, Sv, Sa = 10172, 128, 256
 model = BMHrlAgent(voc_size=VOC)

@@ -61,14 +61,52 @@ def cost_of(jitted, *args):
         return None, None
 
 
-def timeit(fn, *args, iters=10, chain=4):
+@jax.jit
+def _nop(x):
+    return x + 1.0
+
+
+def _measure_block_overhead(chain):
+    """Median wall ms of a block of ``chain`` chained trivial jitted calls +
+    ONE sync: this is the per-block cost of dispatch + the tunnel round
+    trip (~26.6 ms measured 2026-08-20) that every timed block below also
+    pays. Subtracting it removes the residual ~sync/chain bias the per-
+    block scheme still carries (the r4 advisor's point: at chain=4 that is
+    ~6.6 ms/call — severe on short phases)."""
+    x = jnp.zeros(())
+    float(_nop(x))  # compile + warm
+    samples = []
+    for _ in range(12):
+        t0 = time.time()
+        s = x
+        for _ in range(chain):
+            s = _nop(s)
+        float(s)
+        samples.append((time.time() - t0) * 1e3)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+_OVERHEAD_MS = {}  # chain -> measured empty-block ms
+
+
+def block_overhead_ms(chain):
+    if chain not in _OVERHEAD_MS:
+        _OVERHEAD_MS[chain] = _measure_block_overhead(chain)
+    return _OVERHEAD_MS[chain]
+
+
+def timeit(fn, *args, iters=10, chain=8):
     """Median per-call ms over ``iters`` blocks of ``chain`` async-dispatched
-    calls with ONE sync per block: per-call syncing would serialize the
+    calls with ONE sync per block, minus the measured empty-block overhead
+    (dispatch + one tunnel sync): per-call syncing would serialize the
     tunnel's ~25 ms round-trip latency into every sample (measured
     2026-08-20: a trivial jitted op "costs" 26.6 ms synced), drowning any
-    phase cheaper than ~100 ms. Async dispatch matches how the real train
-    loop runs."""
+    phase cheaper than ~100 ms; the empty-block subtraction removes the
+    remaining sync/chain share from each sample. Async dispatch matches
+    how the real train loop runs."""
     float(fn(*args))  # compile + warm
+    over = block_overhead_ms(chain)
     samples = []
     for _ in range(iters):
         t0 = time.time()
@@ -76,7 +114,7 @@ def timeit(fn, *args, iters=10, chain=4):
         for _ in range(chain):
             s = fn(*args)
         float(s)
-        samples.append((time.time() - t0) * 1e3 / chain)
+        samples.append(max(0.0, (time.time() - t0) * 1e3 - over) / chain)
     samples.sort()
     return samples[len(samples) // 2]
 
@@ -161,10 +199,12 @@ for B in BATCHES:
     @jax.jit
     def fwd_bwd_(p):
         # the loss alone would let XLA dead-code-eliminate the whole
-        # backward — fold a grad-dependent scalar into the output
+        # backward — fold a grad-dependent scalar into the output with a
+        # nonzero coefficient so no algebraic simplifier (today's or a
+        # future fast-math one) can remove the dependency
         loss, grads = jax.value_and_grad(loss_fn)(p)
         gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(grads))
-        return loss + 0.0 * gsum
+        return loss + 1e-30 * gsum
 
     def step(state, batch, k):
         st, m, _ = sf.warmstart_step(state, batch, k, 1e-4)
@@ -172,13 +212,14 @@ for B in BATCHES:
 
     st, m = step(state, batch, k)
     float(m["loss"])
+    over = block_overhead_ms(4)
     samples = []
     for _ in range(8):  # blocks of 4 chained steps, one sync per block
         t0 = time.time()
         for _ in range(4):
             st, m = step(st, batch, k)
         float(m["loss"])
-        samples.append((time.time() - t0) * 1e3 / 4)
+        samples.append(max(0.0, (time.time() - t0) * 1e3 - over) / 4)
     samples.sort()
     t_step = samples[len(samples) // 2]
 
