@@ -23,6 +23,7 @@ import sys
 GROUPS = [
     ["tests/test_cross_mesh_equivalence.py"],
     ["tests/test_cross_mesh_detr_proposal.py"],
+    ["tests/test_cross_mesh_unimodal.py"],
     ["tests/test_multichip.py", "tests/test_loop_e2e.py"],
     ["tests/test_synthetic_learning.py", "tests/test_steps.py",
      "tests/test_proposal_model.py"],
