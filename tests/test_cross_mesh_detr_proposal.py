@@ -7,7 +7,9 @@ derived from device outputs.
 Same contract as tests/test_cross_mesh_equivalence.py: identical seeds +
 identical batch on (1,1), (8,1) and (4,2) meshes must give the same sampled
 tokens, the same host-side Hungarian matching, the same losses, and the same
-updated parameters, up to fp32 reduction reassociation.
+updated parameters, up to fp32 reduction reassociation. Assertion helpers
+shared via cross_mesh_common.py; tolerances here are looser for documented
+reasons (see test_detr_losses_match / the Adam-aware atol note below).
 
 Runs on the 8-device virtual CPU mesh from conftest.
 """
@@ -22,9 +24,10 @@ from bmhrl_tpu.models.bmhrl import (BMManagerValueFunction,
 from bmhrl_tpu.models.detr import DetrCaption
 from bmhrl_tpu.parallel import mesh as mesh_lib
 from bmhrl_tpu.train.steps_detr import DetrStepFactory
+from cross_mesh_common import (MESHES, assert_arrays_equal,
+                               assert_params_match, assert_scalars_match)
 
 B, Sv, Sa, Lc, VOC = 8, 8, 10, 8, 40
-MESHES = [(1, 1), (8, 1), (4, 2)]
 
 
 def _detr_model():
@@ -165,10 +168,8 @@ def prop_runs(tmp_path_factory):
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_detr_sampled_and_matching_match(detr_runs, ms):
-    ref, got = detr_runs[(1, 1)], detr_runs[ms]
-    np.testing.assert_array_equal(got["sampled"], ref["sampled"])
-    np.testing.assert_array_equal(got["target_classes"],
-                                  ref["target_classes"])
+    assert_arrays_equal(detr_runs[(1, 1)], detr_runs[ms],
+                        ("sampled", "target_classes"), ms)
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])
@@ -179,51 +180,40 @@ def test_detr_losses_match(detr_runs, ms):
     Certified benign by an f64-params probe (2026-08-19): the same
     cross-mesh diffs collapse to <=3e-6 (value_loss exactly equal), i.e.
     pure reduction reassociation, no mesh-dependent math."""
-    ref, got = detr_runs[(1, 1)], detr_runs[ms]
-    for key in ("detr_loss", "detr_value_loss", "detr_word_loss",
-                "detr_total_loss", "reinforce_loss"):
-        np.testing.assert_allclose(got[key], ref[key], rtol=2e-4, atol=1e-6,
-                                   err_msg=f"{key} diverges on mesh {ms}")
+    assert_scalars_match(
+        detr_runs[(1, 1)], detr_runs[ms],
+        ("detr_loss", "detr_value_loss", "detr_word_loss",
+         "detr_total_loss", "reinforce_loss"), ms, rtol=2e-4)
+
+
+# Post-one-Adam-step params: rtol 2e-4 (the reassociation budget, see
+# test_detr_losses_match) with atol = 2*lr. The atol is principled, not
+# slack: Adam's first-step update is lr*ghat/(sqrt(vhat)+eps) — for
+# elements whose true gradient is ~0 (zero-init biases on weakly-driven
+# paths), ghat/sqrt(vhat) normalizes pure reassociation NOISE to O(1),
+# so the updated value is an lr-scale coin flip that no mesh can be
+# expected to reproduce (observed: 74x rel diff at 5e-5 abs). Elements
+# with real magnitude stay under rtol power; real sharding bugs surface
+# there and in the exact sampled/matching + loss checks above.
+_ADAM_LR = 1e-3
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_detr_updated_params_match(detr_runs, ms):
-    ref, got = detr_runs[(1, 1)], detr_runs[ms]
-    _assert_params_close(ref["params"], got["params"], ms, lr=1e-3)
-
-
-def _assert_params_close(ref_params, got_params, ms, lr):
-    """Post-one-Adam-step params: rtol 2e-4 (the reassociation budget, see
-    test_detr_losses_match) with atol = 2*lr. The atol is principled, not
-    slack: Adam's first-step update is lr*ghat/(sqrt(vhat)+eps) — for
-    elements whose true gradient is ~0 (zero-init biases on weakly-driven
-    paths), ghat/sqrt(vhat) normalizes pure reassociation NOISE to O(1),
-    so the updated value is an lr-scale coin flip that no mesh can be
-    expected to reproduce (observed: 74x rel diff at 5e-5 abs). Elements
-    with real magnitude stay under rtol power; real sharding bugs surface
-    there and in the exact sampled/matching + loss checks above."""
-    flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
-    flat_got = jax.tree.leaves(got_params)
-    assert len(flat_ref) == len(flat_got)
-    for (path, a), b in zip(flat_ref, flat_got):
-        np.testing.assert_allclose(
-            b, a, rtol=2e-4, atol=2 * lr,
-            err_msg=f"param {jax.tree_util.keystr(path)} diverges on {ms}")
+    assert_params_match(detr_runs[(1, 1)]["params"], detr_runs[ms]["params"],
+                        ms, rtol=2e-4, atol=2 * _ADAM_LR)
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_proposal_losses_and_preds_match(prop_runs, ms):
     ref, got = prop_runs[(1, 1)], prop_runs[ms]
-    for key in ref:
-        if not key.startswith("prop_"):
-            continue
-        np.testing.assert_allclose(got[key], ref[key], rtol=2e-5, atol=1e-6,
-                                   err_msg=f"{key} diverges on mesh {ms}")
+    keys = [k for k in ref if k.startswith("prop_")]
+    assert_scalars_match(ref, got, keys, ms)
     np.testing.assert_allclose(got["preds"], ref["preds"], rtol=2e-5,
                                atol=1e-6)
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_proposal_updated_params_match(prop_runs, ms):
-    ref, got = prop_runs[(1, 1)], prop_runs[ms]
-    _assert_params_close(ref["params"], got["params"], ms, lr=1e-3)
+    assert_params_match(prop_runs[(1, 1)]["params"], prop_runs[ms]["params"],
+                        ms, rtol=2e-4, atol=2 * _ADAM_LR)

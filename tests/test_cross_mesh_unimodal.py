@@ -3,13 +3,11 @@ the last step family without a sharding-is-a-layout-choice certificate
 (VERDICT r3 weak #5: BMHRL was covered in round 3, DETR + proposal in
 round 4; this closes audio/video).
 
-Same contract as tests/test_cross_mesh_equivalence.py: identical seeds +
-identical batch on (1,1), (8,1) and (4,2) meshes must give the same
-warmstart loss, RL losses, sampled/greedy tokens, and updated parameters,
-up to fp32 reduction reassociation. The unimodal agents share StepFactory
-and decode with BMHRL (ref: bm_hrl_agent.py:664-799, 802-809), so this
-certifies the shared machinery under a model whose mask/memory selection
-(`_pick`) differs per modality.
+Same contract as tests/test_cross_mesh_equivalence.py — the agents share
+StepFactory and decode with BMHRL (ref: bm_hrl_agent.py:664-799,
+802-809), so this certifies the shared machinery under a model whose
+mask/memory selection (`_pick`) differs per modality. Scaffolding shared
+via cross_mesh_common.py.
 
 Runs on the 8-device virtual CPU mesh from conftest.
 """
@@ -19,17 +17,12 @@ import numpy as np
 import pytest
 
 from bmhrl_tpu.config import Config
-from bmhrl_tpu.models.bmhrl import (BMManagerValueFunction,
-                                    BMWorkerValueFunction)
 from bmhrl_tpu.models.unimodal import AudioAgent, VideoAgent
-from bmhrl_tpu.ops.masking import make_masks
-from bmhrl_tpu.parallel import mesh as mesh_lib
-from bmhrl_tpu.train.decode import decode
-from bmhrl_tpu.train.steps import StepFactory
+from cross_mesh_common import (LOSS_KEYS, MESHES, TOKEN_KEYS,
+                               assert_arrays_equal, assert_params_match,
+                               assert_scalars_match, run_stepfactory_case)
 
 B, Sv, Sa, Lc, VOC = 8, 8, 12, 9, 64
-
-MESHES = [(1, 1), (8, 1), (4, 2)]
 FAMILIES = {"audio": AudioAgent, "video": VideoAgent}
 
 
@@ -56,41 +49,9 @@ def _batch():
 
 
 def _run(family, mesh_shape):
-    d, m = mesh_shape
-    mesh = mesh_lib.make_mesh(mesh_shape, jax.devices()[: d * m])
     cfg = _cfg(mesh_shape)
     model = FAMILIES[family].build(cfg, VOC, jnp.float32)
-    sf = StepFactory(cfg, model, BMWorkerValueFunction(16),
-                     BMManagerValueFunction(16), emb_trainable=True)
-    batch = _batch()
-    out = {}
-    with mesh:
-        state = sf.init_state(jax.random.PRNGKey(0), batch)
-        rules = mesh_lib.param_sharding_rules(mesh, state.cap_params)
-        state = state._replace(
-            cap_params=jax.device_put(state.cap_params, rules))
-        bdev = mesh_lib.shard_batch(mesh, batch)
-        k = jax.random.PRNGKey(1)
-
-        state, metrics, aux = sf.warmstart_step(state, bdev, k, 1e-3)
-        out["warmstart_loss"] = float(metrics["loss"])
-
-        for name, tw in (("worker", True), ("manager", False)):
-            roll = sf.rl_rollout(state, bdev, k, tw)
-            out[f"sampled_{name}"] = np.asarray(roll["sampled"])
-            score = jnp.asarray(
-                np.random.RandomState(5).rand(B, Lc - 1).astype(np.float32))
-            state, m2 = sf.rl_update(state, bdev, k, 1e-3, roll, score, tw)
-            out[f"rl_{name}_loss"] = float(m2["loss"])
-            out[f"rl_{name}_value_loss"] = float(m2["value_loss"])
-
-        feats = {kk: bdev[kk] for kk in ("rgb", "flow", "audio")}
-        masks_src = make_masks(feats, None, "audio_video", 1)
-        toks, _ = decode(model, state.cap_params, feats, masks_src,
-                         6, 2, 3, 1, greedy=True, use_fast=True)
-        out["decode_tokens"] = np.asarray(toks)
-        out["params"] = jax.tree.map(np.asarray, state.cap_params)
-    return out
+    return run_stepfactory_case(model, cfg, _batch(), mesh_shape, B, Lc)
 
 
 @pytest.fixture(scope="module", params=sorted(FAMILIES))
@@ -101,30 +62,14 @@ def runs(request):
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_losses_match_single_device(runs, ms):
-    ref, got = runs[(1, 1)], runs[ms]
-    for key in ("warmstart_loss", "rl_worker_loss", "rl_worker_value_loss",
-                "rl_manager_loss", "rl_manager_value_loss"):
-        np.testing.assert_allclose(got[key], ref[key], rtol=2e-5, atol=1e-6,
-                                   err_msg=f"{key} diverges on mesh {ms}")
+    assert_scalars_match(runs[(1, 1)], runs[ms], LOSS_KEYS, ms)
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_sampled_and_decode_tokens_match(runs, ms):
-    ref, got = runs[(1, 1)], runs[ms]
-    np.testing.assert_array_equal(got["sampled_worker"],
-                                  ref["sampled_worker"])
-    np.testing.assert_array_equal(got["sampled_manager"],
-                                  ref["sampled_manager"])
-    np.testing.assert_array_equal(got["decode_tokens"], ref["decode_tokens"])
+    assert_arrays_equal(runs[(1, 1)], runs[ms], TOKEN_KEYS, ms)
 
 
 @pytest.mark.parametrize("ms", MESHES[1:])
 def test_updated_params_match(runs, ms):
-    ref, got = runs[(1, 1)], runs[ms]
-    flat_ref = jax.tree_util.tree_leaves_with_path(ref["params"])
-    flat_got = jax.tree.leaves(got["params"])
-    assert len(flat_ref) == len(flat_got)
-    for (path, a), b in zip(flat_ref, flat_got):
-        np.testing.assert_allclose(
-            b, a, rtol=2e-5, atol=1e-6,
-            err_msg=f"param {jax.tree_util.keystr(path)} diverges on {ms}")
+    assert_params_match(runs[(1, 1)]["params"], runs[ms]["params"], ms)

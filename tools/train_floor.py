@@ -120,6 +120,11 @@ def timeit(fn, *args, iters=10, chain=8):
 
 
 def report(name, t_ms, flops, bytes_):
+    if t_ms <= 0.0:
+        # the whole phase is below the overhead-subtracted measurement
+        # resolution (possible for trivial phases at tiny B)
+        print(f"  {name:10s}   <resolution (block ~= empty-block overhead)")
+        return
     if flops is None:
         print(f"  {name:10s} {t_ms:7.2f} ms   (no cost model)")
         return
