@@ -182,10 +182,14 @@ def _train_bench(jax, jnp, model):
         batch = _make_batch(jnp, B)
         if state is None:
             state = sf.init_state(jax.random.PRNGKey(0), batch)
-        state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
+        # warm with a FULL block (compile + first-dispatch effects), then
+        # sample 5 blocks — the r4 artifact showed occasional cold first
+        # blocks polluting the min at n=3
+        for _ in range(5):
+            state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
         sync(m)
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             for _ in range(5):
                 state, m, aux = sf.warmstart_step(state, batch, k, 1e-4)
@@ -204,10 +208,12 @@ def _train_bench(jax, jnp, model):
     for name, tw in (("rl_worker", True), ("rl_manager", False)):
         roll = sf.rl_rollout(state, batch, k, tw)
         score = jnp.zeros(roll["sampled"].shape, jnp.float32)
-        state, m = sf.rl_update(state, batch, k, 1e-4, roll, score, tw)
+        for _ in range(3):  # full warm block (see warmstart note)
+            roll = sf.rl_rollout(state, batch, k, tw)
+            state, m = sf.rl_update(state, batch, k, 1e-4, roll, score, tw)
         sync(m)
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             for _ in range(3):
                 roll = sf.rl_rollout(state, batch, k, tw)
