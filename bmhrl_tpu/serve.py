@@ -12,9 +12,11 @@ not a serving path. This engine is the production counterpart:
   grouped by (video-bucket, audio-bucket) so short clips never pay
   dataset-max padding, and the compile count is bounded by the bucket grid
   (default 5x5) times the distinct batch shapes.
-- **Static shapes.** Every batch is padded to (batch_size, vb, ab); the tail
-  of each bucket group is row-padded and masked out via ``n_valid``, so the
-  jitted decode compiles once per bucket pair and never retraces.
+- **Static shapes.** Full batches run at (batch_size, vb, ab); the tail of
+  each bucket group is row-padded up to the next power of two (masked out
+  via ``n_valid``), so the jitted decode compiles once per bucket pair for
+  full batches plus at most log2(batch_size) tail shapes — small tails
+  don't pay a full-batch decode and the compile count stays bounded.
 - **Overlapped IO.** Feature loading runs in a thread pool; a background
   prefetcher dispatches async host->device transfers so the copy of batch
   t+1 overlaps the decode of batch t (data/dataset.Prefetcher).
@@ -62,7 +64,6 @@ class ServeStats:
     batches: int = 0
     compiles: int = 0  # distinct (B, vb, ab) shapes seen
     wall_s: float = 0.0
-    decode_s: float = 0.0
     batch_latency_s: List[float] = field(default_factory=list)
     padded_rows: int = 0
     padded_frac: float = 0.0
@@ -168,14 +169,36 @@ def plan_batches(
     Requests are bucketed by their post-crop lengths (probed from npy
     headers), so a 14-frame clip shares a (32, 64) compile with its peers
     instead of riding a dataset-max (300, 800) batch. Within a bucket pair,
-    order is preserved; the tail batch is row-padded by the caller."""
+    order is preserved; the tail batch is row-padded by the caller.
+
+    Malformed requests (duration <= 0) are rejected here with a clear
+    error: the load path's proportional crop divides by duration
+    (data/features.crop_span), so letting one through would kill the whole
+    caption() run deep inside the IO pool."""
+    bad = [i for i, r in enumerate(reqs) if r.duration <= 0]
+    if bad:
+        ex = reqs[bad[0]]
+        raise ValueError(
+            f"{len(bad)} request(s) with duration <= 0 (first: index "
+            f"{bad[0]}, video_id={ex.video_id!r}, duration={ex.duration}); "
+            "fix or drop them before serving")
     buckets: Dict[Tuple[int, int], List[int]] = {}
-    rows_cache: Dict[str, Optional[int]] = {}  # many proposals per video:
-                                               # probe each header once
+
+    # many proposals per video: probe each header once — and concurrently,
+    # since serial np.load header reads on networked storage would add
+    # O(unique files) latency before the decode pipeline even starts
+    paths = set()
+    for r in reqs:
+        vdir = r.video_dir or cfg.video_features_path
+        adir = r.audio_dir or cfg.audio_features_path
+        paths.add(os.path.join(vdir, f"{r.video_id}_rgb.npy"))
+        paths.add(os.path.join(adir, f"{r.video_id}.npy"))
+    paths = sorted(paths)
+    with ThreadPoolExecutor(max_workers=8) as probe_pool:
+        rows_cache: Dict[str, Optional[int]] = dict(
+            zip(paths, probe_pool.map(_npy_rows, paths)))
 
     def probe(path: str) -> Optional[int]:
-        if path not in rows_cache:
-            rows_cache[path] = _npy_rows(path)
         return rows_cache[path]
 
     for i, r in enumerate(reqs):
@@ -254,6 +277,18 @@ class CaptionServer:
         self.temperature = float(temperature)
         self.top_k = int(top_k)
         self.top_p = float(top_p)
+        if self.sample:
+            # validate up front: bad knobs would otherwise surface as a
+            # trace-time crash (top_k > vocab) or NaN sampling probs
+            # (temperature 0) deep inside the first caption() call
+            if self.temperature <= 0.0:
+                raise ValueError("temperature must be > 0 (use sample=False "
+                                 "for greedy decoding)")
+            if self.top_k < 0 or self.top_k > len(itos):
+                raise ValueError(f"top_k={self.top_k} out of range for a "
+                                 f"{len(itos)}-word vocabulary")
+            if not 0.0 <= self.top_p <= 1.0:
+                raise ValueError(f"top_p={self.top_p} must be in [0, 1]")
         self._sample_rng = None
         if self.sample:
             import jax
@@ -321,8 +356,15 @@ class CaptionServer:
         def batch_iter() -> Iterator[Dict]:
             for idxs, vb, ab in plan:
                 full = len(idxs) == bs or self._fixed_batch
-                pad_to = self._mesh_pad(bs if full else len(idxs))
-                yield _load_batch(reqs, idxs, vb, ab, cfg, pad_to, pool)
+                if full:
+                    pad_to = bs
+                else:
+                    # round tails up to the next power of two: bounds the
+                    # distinct decode shapes at log2(bs) per bucket pair
+                    # without charging a 3-row tail a full-bs decode
+                    pad_to = min(bs, 1 << (len(idxs) - 1).bit_length())
+                yield _load_batch(reqs, idxs, vb, ab, cfg,
+                                  self._mesh_pad(pad_to), pool)
 
         t0 = time.time()
         for batch in Prefetcher(batch_iter(), prefetch,

@@ -250,7 +250,12 @@ class CiderReward:
         sections = self._manager_sections(trgs, sections)
         step, rewards = self.delta_worker(pred, trgs, mask)
         seg = segment_sum_expand_np(step, sections)
-        # CIDEr discounts across segment boundaries (cider.py:101-104)
+        # CIDEr discounts across segment boundaries with the WORKER gamma
+        # (cider.py:98 passes self.gamma); gamma_manager is stored but
+        # unused in every reference scorer (batched_meteor.py:127-129
+        # even carries a '# TODO use different gamm' note) — self.gamma_m
+        # here mirrors that stored-but-unused wart, so the
+        # rl_gamma_manager config knob is a no-op exactly as upstream
         return discounted_segment_return_np(seg, sections, self.gamma), None
 
     def delta_both(self, pred: np.ndarray, trgs: Sequence[str],

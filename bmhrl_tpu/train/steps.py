@@ -136,15 +136,20 @@ class StepFactory:
         V = jnp.asarray(example_batch["rgb"] + example_batch["flow"])
         A = jnp.asarray(example_batch["audio"])
         trg = jnp.asarray(example_batch["caption_idx"][:, :-1])
-        masks = make_masks({"rgb": V, "audio": A}, trg, "audio_video", PAD)
-        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        # same rgb-channel-0 mask convention as _prep / serving (masks only
+        # shape the init trace here; param values depend on shapes alone)
+        masks = make_masks({"rgb": jnp.asarray(example_batch["rgb"]),
+                            "audio": A}, trg, "audio_video", PAD)
+        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
         cap_params = self._init_jit(
             {"params": r1, "dropout": r2, "noise": r3}, (V, A), trg, masks)
         out = jax.eval_shape(
             lambda p: self.model.apply(p, (V, A), trg, masks), cap_params)
         wf = jnp.zeros(out[1].shape, jnp.float32)
+        # distinct keys: the worker/manager value nets share an architecture,
+        # so one key would start the two baselines byte-identical
         wv_params = self.wv_model.init(r4, (wf, None))
-        mv_params = self.mv_model.init(r4, wf)
+        mv_params = self.mv_model.init(r5, wf)
         self._groups = param_groups(cap_params)
         return TrainState(
             cap_params=cap_params, wv_params=wv_params, mv_params=mv_params,
@@ -302,7 +307,12 @@ class StepFactory:
         else:
             norm_factor = seg0.sum(-1, keepdims=True).astype(jnp.float32)
             # ref :299-317 vectorized: per-segment prob products and
-            # expected-score segment sums
+            # expected-score segment sums. Reference-faithful quirk: score
+            # is zeroed at non-boundary positions (score * segments,
+            # ref :300) while probs/expected values are segment-EXPANDED,
+            # so with stabilize the mid-segment amplitude is driven by
+            # -expected_value alone (ref :318-322 does exactly this) —
+            # kept as the semantics the published 10.80 was trained with
             segf = seg0.astype(jnp.float32)
             score = score * segf
             log_p = jnp.log(jnp.clip(sampled_probs, 1e-30))
